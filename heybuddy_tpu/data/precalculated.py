@@ -1,0 +1,254 @@
+"""
+Memory-mapped precalculated feature store.
+
+Capability parity with reference ``dataset/precalculated.py``: ``.npy`` arrays
+of shape ``[n, 16, 96]`` (unlabeled features) or ``[n, 17, 96]`` (labeled: row
+17 holds 96 token ids stored as float32), iterated with a shuffled index and
+wraparound ``take(n)``, with token-based exclude-phrase filtering for labeled
+negative sets and hosted-variant auto-download. The on-disk format is identical
+to the reference's, so its published 25-72 GB negative datasets work unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import threading
+from typing import Any, Dict, Iterator, List, Optional, Set
+
+import numpy as np
+
+from heybuddy_tpu.utils.downloads import check_download_file, get_cache_dir
+from heybuddy_tpu.utils.log import logger
+
+__all__ = [
+    "PrecalculatedDatasetIterator",
+    "HostedPrecalculatedDatasetIterator",
+    "PrecalculatedTrainingDatasetLarge",
+    "PrecalculatedTrainingDatasetMedium",
+    "PrecalculatedValidationDataset",
+    "get_default_dataset_dir",
+]
+
+
+def get_default_dataset_dir() -> str:
+    return os.environ.get("HEYBUDDY_DATASET_DIR", get_cache_dir("precalculated"))
+
+
+class PrecalculatedDatasetIterator:
+    """
+    Iterator over a memory-mapped ``.npy`` feature array with a shuffled index,
+    wraparound ``take``, and exclude-phrase filtering for labeled arrays
+    (reference precalculated.py:365-573).
+    """
+
+    def __init__(
+        self,
+        name: str,
+        directory: Optional[str] = None,
+        exclude_phrase: Optional[str] = None,
+        ordered: bool = False,
+        labeled: bool = False,
+        use_mem_map: bool = True,
+        shuffle: bool = True,
+        data: Optional[np.ndarray] = None,
+        seed: Optional[int] = None,
+    ) -> None:
+        self.lock = threading.Lock()
+        self.name = name
+        self.directory = directory or get_default_dataset_dir()
+        self.exclude_phrase = exclude_phrase
+        self.ordered = ordered
+        self.labeled = labeled
+        self.use_mem_map = use_mem_map
+        self.index = 0
+        self.total_taken = 0
+        self._rng = np.random.default_rng(seed)
+        self._data: Optional[np.ndarray] = data
+        self._indexes: Optional[np.ndarray] = None
+        self._exclude_tokens: Optional[Set[int]] = None
+        if data is None and not os.path.exists(self.precalculated_path):
+            raise FileNotFoundError(
+                f"Could not find precalculated features at {self.precalculated_path}."
+            )
+        if shuffle and not ordered:
+            self.shuffle()
+
+    @property
+    def precalculated_path(self) -> str:
+        return os.path.join(self.directory, f"{self.name}.npy")
+
+    @property
+    def precalculated(self) -> np.ndarray:
+        if self._data is None:
+            self._data = np.load(
+                self.precalculated_path, mmap_mode="r" if self.use_mem_map else None
+            )
+        return self._data
+
+    @property
+    def indexes(self) -> np.ndarray:
+        if self._indexes is None:
+            self._indexes = np.arange(len(self.precalculated))
+        return self._indexes
+
+    @property
+    def exclude_text(self) -> str:
+        if self.exclude_phrase is None:
+            return ""
+        return re.sub(
+            r"\s+", " ", re.sub(r"[^a-zA-Z0-9]", " ", self.exclude_phrase.replace("'", ""))
+        ).strip()
+
+    @property
+    def exclude_tokens(self) -> Set[int]:
+        if self._exclude_tokens is None:
+            if self.exclude_phrase is None:
+                self._exclude_tokens = set()
+            else:
+                from heybuddy_tpu.text.tokens import BERTTokenizer
+
+                tokens = BERTTokenizer()(self.exclude_text)
+                self._exclude_tokens = set(int(t) for t in np.asarray(tokens).flatten() if t != 0)
+        return self._exclude_tokens
+
+    @classmethod
+    def from_array(
+        cls,
+        array: np.ndarray,
+        name: str,
+        directory: Optional[str] = None,
+        ordered: bool = False,
+        keep_in_memory: bool = False,
+        **kwargs: Any,
+    ) -> "PrecalculatedDatasetIterator":
+        directory = directory or get_default_dataset_dir()
+        os.makedirs(directory, exist_ok=True)
+        np.save(os.path.join(directory, f"{name}.npy"), array)
+        return cls(
+            name,
+            directory=directory,
+            data=array if keep_in_memory else None,
+            ordered=ordered,
+            **kwargs,
+        )
+
+    def shuffle(self) -> "PrecalculatedDatasetIterator":
+        if not self.ordered:
+            self._rng.shuffle(self.indexes)
+        return self
+
+    def take(self, n: int) -> np.ndarray:
+        """Take ``n`` rows, wrapping (and reshuffling) at the end of the array."""
+        with self.lock:
+            batch = self._take_unlocked(n)
+        return batch
+
+    def _take_unlocked(self, n: int) -> np.ndarray:
+        idx = self.indexes[self.index : self.index + n]
+        batch = np.asarray(self.precalculated[idx])
+        if batch.shape[0] < n:
+            self.index = n - batch.shape[0]
+            self.shuffle()
+            batch = np.concatenate([batch, np.asarray(self.precalculated[self.indexes[: self.index]])])
+        else:
+            self.index += n
+
+        if self.labeled:
+            if self.exclude_phrase is not None and self.exclude_tokens:
+                # Row -1 holds token ids as float32; drop rows sharing any token
+                # with the exclude phrase (vectorized, unlike the reference's
+                # per-row Python set test).
+                token_rows = batch[:, -1, :].astype(np.int64)
+                exclude = np.fromiter(self.exclude_tokens, dtype=np.int64)
+                mask = ~np.isin(token_rows, exclude).any(axis=1)
+                batch = batch[mask]
+            batch = batch[:, :-1]
+            if batch.shape[0] < n:
+                batch = np.concatenate([batch, self._take_unlocked(n - batch.shape[0])])
+
+        self.total_taken += n
+        return batch
+
+    def iterate(self) -> Iterator[np.ndarray]:
+        while True:
+            yield self.take(1)
+
+    def metadata(self) -> Dict[str, Any]:
+        return {
+            "name": self.name,
+            "path": self.precalculated_path,
+            "shape": tuple(self.precalculated.shape),
+            "ordered": self.ordered,
+            "labeled": self.labeled,
+            "use_mem_map": self.use_mem_map,
+        }
+
+    def __len__(self) -> int:
+        return len(self.precalculated)
+
+
+class HostedPrecalculatedDatasetIterator(PrecalculatedDatasetIterator):
+    """
+    A precalculated dataset hosted remotely and downloaded on first use
+    (reference precalculated.py:576-649). Download failures surface as
+    FileNotFoundError so callers can fall back to local generation.
+    """
+
+    dataset_url: Optional[str] = None
+    dataset_sha256: Optional[str] = None
+
+    def __init__(self, name: Optional[str] = None, **kwargs: Any) -> None:
+        if self.dataset_url is None:
+            raise ValueError(f"{type(self).__name__}.dataset_url is not set")
+        resolved_name = name or os.path.splitext(os.path.basename(self.dataset_url))[0]
+        directory = kwargs.pop("directory", None) or get_default_dataset_dir()
+        path = os.path.join(directory, f"{resolved_name}.npy")
+        if not os.path.exists(path):
+            try:
+                check_download_file(self.dataset_url, path, expected_sha256=self.dataset_sha256)
+            except Exception as ex:
+                raise FileNotFoundError(
+                    f"Hosted dataset {resolved_name} unavailable ({ex}); "
+                    "generate features locally or place the .npy at "
+                    f"{path}"
+                ) from ex
+        super().__init__(resolved_name, directory=directory, **kwargs)
+
+
+class PrecalculatedTrainingDatasetLarge(HostedPrecalculatedDatasetIterator):
+    """~46 GB labeled negative training set (reference precalculated.py:607-613)."""
+
+    dataset_url = (
+        "https://huggingface.co/datasets/benjamin-paine/hey-buddy/resolve/main/"
+        "precalculated/training-large.npy"
+    )
+
+    def __init__(self, **kwargs: Any) -> None:
+        kwargs.setdefault("labeled", True)
+        super().__init__("training-large", **kwargs)
+
+
+class PrecalculatedTrainingDatasetMedium(HostedPrecalculatedDatasetIterator):
+    """~25 GB labeled negative training set (reference precalculated.py:614-619)."""
+
+    dataset_url = (
+        "https://huggingface.co/datasets/benjamin-paine/hey-buddy/resolve/main/"
+        "precalculated/training-medium.npy"
+    )
+
+    def __init__(self, **kwargs: Any) -> None:
+        kwargs.setdefault("labeled", True)
+        super().__init__("training-medium", **kwargs)
+
+
+class PrecalculatedValidationDataset(HostedPrecalculatedDatasetIterator):
+    """Hosted negative validation set (reference precalculated.py:621-628)."""
+
+    dataset_url = (
+        "https://huggingface.co/datasets/benjamin-paine/hey-buddy/resolve/main/"
+        "precalculated/validation.npy"
+    )
+
+    def __init__(self, **kwargs: Any) -> None:
+        super().__init__("validation", **kwargs)

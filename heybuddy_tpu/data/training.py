@@ -1,0 +1,365 @@
+"""
+Threaded batch-assembly pipeline feeding the TPU train step.
+
+Capability parity with reference ``dataset/training.py``: N daemon producer
+threads each assemble ``(x, y)`` batches from (positive x bs, negative x bs)
+dataset iterators onto a bounded queue; the consumer iterates with a timeout
+and liveness-checks/restarts dead producers. Differences from the reference
+are TPU-shaped: batches stay numpy (pinned host memory) and are transferred
+with ``jax.device_put`` (sharded over the mesh's data axis) by the trainer, so
+the producer threads overlap batch assembly with device compute exactly like a
+double-buffered host->HBM ingestion queue.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Any, Dict, Iterator, List, Optional, Tuple, Union
+
+import numpy as np
+
+from heybuddy_tpu.constants import (
+    DEFAULT_ADVERSARIAL_BATCH_SIZE,
+    DEFAULT_ADVERSARIAL_PHRASES,
+    DEFAULT_ADVERSARIAL_SAMPLES,
+    DEFAULT_BATCH_THREADS,
+    DEFAULT_NEGATIVE_BATCH_SIZE,
+    DEFAULT_POSITIVE_BATCH_SIZE,
+    DEFAULT_POSITIVE_SAMPLES,
+    DEFAULT_TESTING_ADVERSARIAL_SAMPLES,
+    DEFAULT_TESTING_POSITIVE_SAMPLES,
+    DEFAULT_VALIDATION_NEGATIVE_BATCH_SIZE,
+    DEFAULT_VALIDATION_POSITIVE_BATCH_SIZE,
+    DEFAULT_VALIDATION_SAMPLES,
+)
+from heybuddy_tpu.data.precalculated import (
+    PrecalculatedDatasetIterator,
+    PrecalculatedTrainingDatasetLarge,
+    PrecalculatedTrainingDatasetMedium,
+    PrecalculatedValidationDataset,
+)
+from heybuddy_tpu.utils.log import logger
+
+__all__ = ["TrainingDatasetIterator", "WakeWordTrainingDatasetIterator"]
+
+Batch = Tuple[np.ndarray, np.ndarray]
+DatasetSpec = Tuple[PrecalculatedDatasetIterator, int]
+
+
+class TrainingDatasetIterator:
+    """Bounded-queue batch producer/consumer (reference training.py:29-146)."""
+
+    def __init__(
+        self,
+        max_samples: Optional[int] = None,
+        num_batch_threads: int = 2,
+        max_queued_batches: int = 100,
+        start: bool = False,
+    ) -> None:
+        self.total_yielded_samples = 0
+        self.max_samples = max_samples
+        self.num_batch_threads = num_batch_threads
+        self.queue: "queue.Queue[Batch]" = queue.Queue(max_queued_batches)
+        self.threads: List[Tuple[threading.Thread, threading.Event]] = []
+        self.started = False
+        if start:
+            self.start()
+
+    def metadata(self) -> Dict[str, Any]:
+        return {
+            "max_samples": self.max_samples,
+            "num_batch_threads": self.num_batch_threads,
+        }
+
+    def start(self) -> None:
+        if self.started:
+            return
+        self.started = True
+        logger.info(f"Starting batch generation with {self.num_batch_threads} threads")
+        for _ in range(self.num_batch_threads):
+            stop_event = threading.Event()
+            thread = threading.Thread(target=self._generate_batches, args=(stop_event,), daemon=True)
+            thread.start()
+            self.threads.append((thread, stop_event))
+
+    def check_restart(self) -> None:
+        """Restart any dead producer thread (reference training.py:88-103)."""
+        if not self.started:
+            self.start()
+            return
+        for i, (thread, event) in enumerate(self.threads):
+            if not thread.is_alive():
+                logger.warning(f"Batch generation thread {i} has stopped, restarting")
+                event.clear()
+                new_thread = threading.Thread(
+                    target=self._generate_batches, args=(event,), daemon=True
+                )
+                new_thread.start()
+                self.threads[i] = (new_thread, event)
+
+    def stop(self) -> None:
+        for _, stop_event in self.threads:
+            stop_event.set()
+        for thread, _ in self.threads:
+            thread.join(timeout=5)
+        self.threads.clear()
+        with self.queue.mutex:
+            self.queue.queue.clear()
+        self.started = False
+
+    def iterate(self) -> Iterator[Batch]:
+        yielded = 0
+        while True:
+            try:
+                item = self.queue.get(timeout=1)
+                yielded += 1
+                self.total_yielded_samples += 1
+                yield item
+                if self.max_samples is not None and yielded >= self.max_samples:
+                    break
+                if self.total_yielded_samples % 10 == 0:
+                    self.check_restart()
+            except queue.Empty:
+                self.check_restart()
+
+    def __iter__(self) -> Iterator[Batch]:
+        return self.iterate()
+
+    def _generate_batches(self, stop_event: threading.Event) -> None:
+        raise NotImplementedError
+
+
+class WakeWordTrainingDatasetIterator(TrainingDatasetIterator):
+    """
+    Assembles (positive, negative) feature batches with labels
+    (reference training.py:147-277) and wires together generated + hosted
+    datasets through the factory classmethods (reference training.py:279-905).
+    """
+
+    def __init__(
+        self,
+        max_samples: Optional[int] = None,
+        num_batch_threads: int = 2,
+        max_queued_batches: int = 100,
+        start: bool = False,
+        positive: Optional[List[DatasetSpec]] = None,
+        negative: Optional[List[DatasetSpec]] = None,
+    ) -> None:
+        super().__init__(
+            max_samples=max_samples,
+            num_batch_threads=num_batch_threads,
+            max_queued_batches=max_queued_batches,
+            start=start,
+        )
+        positive = positive or []
+        negative = negative or []
+        assert positive or negative, "At least one positive or negative dataset is required"
+        self.positive = positive
+        self.negative = negative
+
+    def metadata(self) -> Dict[str, Any]:
+        return {
+            **super().metadata(),
+            "positive": [
+                {"length": len(ds), "batch_size": bs, "metadata": ds.metadata()}
+                for ds, bs in self.positive
+            ],
+            "negative": [
+                {"length": len(ds), "batch_size": bs, "metadata": ds.metadata()}
+                for ds, bs in self.negative
+            ],
+        }
+
+    def summary(self) -> str:
+        lines = [f"Total batches yielded: {self.total_yielded_samples}"]
+        for label, specs in (("Positive", self.positive), ("Negative", self.negative)):
+            for i, (dataset, batch_size) in enumerate(specs):
+                taken, unique = dataset.total_taken, len(dataset)
+                lines.append(
+                    f"{label} dataset {i + 1}: {taken} samples taken out of {unique} unique "
+                    f"samples ({batch_size} per batch, {taken / max(unique, 1):.2%} seen)"
+                )
+        return "\n".join(lines)
+
+    def multiply_batch_size(self, ratio: float) -> None:
+        restart = self.started
+        if self.started:
+            self.stop()
+        self.positive = [(ds, max(1, int(bs * ratio))) for ds, bs in self.positive]
+        self.negative = [(ds, max(1, int(bs * ratio))) for ds, bs in self.negative]
+        if restart:
+            self.start()
+
+    def half_batch_size(self) -> None:
+        self.multiply_batch_size(0.5)
+
+    def double_batch_size(self) -> None:
+        self.multiply_batch_size(2)
+
+    def _generate_batches(self, stop_event: threading.Event) -> None:
+        while not stop_event.is_set():
+            samples: List[np.ndarray] = []
+            labels: List[np.ndarray] = []
+            for dataset, n in self.positive:
+                samples.append(dataset.take(n))
+                labels.append(np.ones(samples[-1].shape[0], dtype=np.float32))
+            for dataset, n in self.negative:
+                samples.append(dataset.take(n))
+                labels.append(np.zeros(samples[-1].shape[0], dtype=np.float32))
+
+            x = np.concatenate(samples).astype(np.float32)
+            y = np.concatenate(labels)
+            if x.shape[0] != y.shape[0]:
+                n_min = min(x.shape[0], y.shape[0])
+                x, y = x[:n_min], y[:n_min]
+
+            while self.queue.full():
+                if stop_event.is_set():
+                    return
+                stop_event.wait(0.1)
+            self.queue.put((x, y))
+
+    # --- factories (reference training.py:279-905) -----------------------------
+
+    @classmethod
+    def default(
+        cls,
+        phrase: Union[str, List[str]],
+        positive_samples: int = DEFAULT_POSITIVE_SAMPLES,
+        adversarial_samples: int = DEFAULT_ADVERSARIAL_SAMPLES,
+        adversarial_phrases: int = DEFAULT_ADVERSARIAL_PHRASES,
+        positive_batch_size: int = DEFAULT_POSITIVE_BATCH_SIZE,
+        adversarial_batch_size: int = DEFAULT_ADVERSARIAL_BATCH_SIZE,
+        negative_batch_size: int = DEFAULT_NEGATIVE_BATCH_SIZE,
+        num_batch_threads: int = DEFAULT_BATCH_THREADS,
+        large_negative_dataset: bool = False,
+        testing: bool = False,
+        **feature_kwargs: Any,
+    ) -> "WakeWordTrainingDatasetIterator":
+        """Training (or testing) iterator: generated positives/adversarials + hosted negatives."""
+        from heybuddy_tpu.data.features import TrainingFeaturesGenerator
+
+        generator = TrainingFeaturesGenerator(phrase=phrase, **feature_kwargs)
+        positive = generator.get_training_features(
+            positive_samples,
+            adversarial=False,
+            testing=testing,
+        )
+        adversarial = generator.get_training_features(
+            adversarial_samples,
+            adversarial=True,
+            adversarial_phrases=adversarial_phrases,
+            testing=testing,
+        )
+        positive_specs: List[DatasetSpec] = [
+            (positive, positive_batch_size),
+        ]
+        negative_specs: List[DatasetSpec] = [
+            (adversarial, adversarial_batch_size),
+        ]
+        if negative_batch_size > 0:
+            negative = cls._hosted_negative(phrase, large=large_negative_dataset)
+            if negative is not None:
+                negative_specs.append((negative, negative_batch_size))
+        return cls(
+            num_batch_threads=num_batch_threads,
+            positive=positive_specs,
+            negative=negative_specs,
+        )
+
+    @classmethod
+    def testing(cls, phrase: Union[str, List[str]], **kwargs: Any) -> "WakeWordTrainingDatasetIterator":
+        kwargs.setdefault("positive_samples", DEFAULT_TESTING_POSITIVE_SAMPLES)
+        kwargs.setdefault("adversarial_samples", DEFAULT_TESTING_ADVERSARIAL_SAMPLES)
+        kwargs.setdefault("negative_batch_size", 0)
+        kwargs.setdefault("max_samples", None)
+        max_samples = kwargs.pop("max_samples")
+        iterator = cls.default(phrase, testing=True, **kwargs)
+        iterator.max_samples = max_samples if max_samples is not None else 1
+        return iterator
+
+    @classmethod
+    def validation(
+        cls,
+        phrase: Union[str, List[str]],
+        validation_samples: int = DEFAULT_VALIDATION_SAMPLES,
+        positive_batch_size: int = DEFAULT_VALIDATION_POSITIVE_BATCH_SIZE,
+        negative_batch_size: int = DEFAULT_VALIDATION_NEGATIVE_BATCH_SIZE,
+        num_batch_threads: int = 2,
+        **feature_kwargs: Any,
+    ) -> "WakeWordTrainingDatasetIterator":
+        """Validation iterator: pad-only positives + hosted negative validation set."""
+        from heybuddy_tpu.data.features import TrainingFeaturesGenerator
+
+        generator = TrainingFeaturesGenerator(phrase=phrase, **feature_kwargs)
+        positive = generator.get_validation_features(validation_samples)
+        positive_specs: List[DatasetSpec] = [(positive, positive_batch_size)]
+        negative_specs: List[DatasetSpec] = []
+        try:
+            negative_specs.append((PrecalculatedValidationDataset(), negative_batch_size))
+        except FileNotFoundError as ex:
+            logger.warning(f"Hosted validation negatives unavailable: {ex}")
+        iterator = cls(
+            num_batch_threads=num_batch_threads,
+            positive=positive_specs,
+            negative=negative_specs,
+        )
+        iterator.max_samples = 1
+        return iterator
+
+    @classmethod
+    def all(
+        cls,
+        phrase: Union[str, List[str]],
+        validation_samples: int = DEFAULT_VALIDATION_SAMPLES,
+        testing_positive_samples: int = DEFAULT_TESTING_POSITIVE_SAMPLES,
+        testing_adversarial_samples: int = DEFAULT_TESTING_ADVERSARIAL_SAMPLES,
+        **kwargs: Any,
+    ) -> Tuple[
+        "WakeWordTrainingDatasetIterator",
+        Optional["WakeWordTrainingDatasetIterator"],
+        Optional["WakeWordTrainingDatasetIterator"],
+    ]:
+        """Build (training, validation, testing) like reference training.py:704-905."""
+        feature_kwargs = {
+            k: v
+            for k, v in kwargs.items()
+            if k
+            not in {
+                "positive_samples",
+                "adversarial_samples",
+                "adversarial_phrases",
+                "positive_batch_size",
+                "adversarial_batch_size",
+                "negative_batch_size",
+                "num_batch_threads",
+                "large_negative_dataset",
+            }
+        }
+        training = cls.default(phrase, **kwargs)
+        validation = None
+        testing = None
+        if validation_samples > 0:
+            validation = cls.validation(phrase, validation_samples=validation_samples, **feature_kwargs)
+        if testing_positive_samples > 0 or testing_adversarial_samples > 0:
+            testing = cls.testing(
+                phrase,
+                positive_samples=testing_positive_samples,
+                adversarial_samples=testing_adversarial_samples,
+                **feature_kwargs,
+            )
+        return training, validation, testing
+
+    @staticmethod
+    def _hosted_negative(
+        phrase: Union[str, List[str]], large: bool = False
+    ) -> Optional[PrecalculatedDatasetIterator]:
+        exclude = phrase if isinstance(phrase, str) else " ".join(phrase)
+        dataset_cls = PrecalculatedTrainingDatasetLarge if large else PrecalculatedTrainingDatasetMedium
+        try:
+            return dataset_cls(exclude_phrase=exclude)
+        except FileNotFoundError as ex:
+            logger.warning(f"Hosted negative dataset unavailable: {ex}")
+            return None
