@@ -1,0 +1,195 @@
+"""
+Adversarial phrase generation via phoneme-overlap search.
+
+Capability parity with reference ``util/lang_util.py``: for each word of the
+wake phrase, find dictionary words whose pronunciations match the word's phone
+sequence with up to ``len-2`` phonemes wildcarded and all vowel stresses freed,
+then sample adversarial phrases (optionally keeping some input words, and
+occasionally sampling partial phrases). These become the hard-negative TTS
+prompts.
+
+The search corpus is the CMU dictionary when available (``HEYBUDDY_CMUDICT``),
+otherwise a bundled common-word list phonemized by the rule G2P — smaller, but
+fully offline and deterministic.
+"""
+
+from __future__ import annotations
+
+import itertools
+import re
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from heybuddy_tpu.text.phonemizer import SimplePhonemizer, load_cmudict, VOWEL_PHONEMES
+from heybuddy_tpu.text.wordlist import WORDS
+from heybuddy_tpu.utils.log import logger
+
+__all__ = ["AdversarialTextGenerator", "get_adversarial_text_generator", "replace_phonemes"]
+
+
+def replace_phonemes(
+    input_chars: List[str],
+    max_replace: int,
+    replace_char: str = "(.){1,3}",
+) -> List[str]:
+    """
+    All phone sequences with 1..max_replace positions wildcarded
+    (reference lang_util.py:18-38).
+    """
+    results = []
+    num_chars = len(input_chars)
+    for r in range(1, max_replace + 1):
+        for combination in itertools.combinations(range(num_chars), r):
+            chars = input_chars.copy()
+            for index in combination:
+                chars[index] = replace_char
+            results.append(" ".join(chars))
+    return results
+
+
+def _stress_phones(phones: List[str]) -> str:
+    """Attach stress digits (primary on first vowel, 0 on the rest)."""
+    out = []
+    seen_vowel = False
+    for p in phones:
+        if p in VOWEL_PHONEMES:
+            out.append(p + ("1" if not seen_vowel else "0"))
+            seen_vowel = True
+        else:
+            out.append(p)
+    return " ".join(out)
+
+
+class Lexicon:
+    """word -> stressed phone string, with regex search over pronunciations."""
+
+    def __init__(self) -> None:
+        self.entries: Dict[str, str] = {}
+        cmu = load_cmudict()
+        if cmu is not None:
+            for word, phones in cmu.items():
+                if word.isalpha():
+                    self.entries[word] = " ".join(phones)
+            logger.info(f"Adversarial lexicon: CMU dictionary with {len(self.entries)} words")
+        else:
+            g2p = SimplePhonemizer(use_cmudict=False)
+            for word in set(WORDS):
+                phones = g2p.word_phones(word)
+                if phones:
+                    self.entries[word] = _stress_phones(phones)
+        self._items: List[Tuple[str, str]] = list(self.entries.items())
+
+    def phones_for_word(self, word: str) -> Optional[str]:
+        return self.entries.get(word.lower())
+
+    def search(self, pattern: str) -> List[str]:
+        """Words whose phone string contains the pattern (pronouncing semantics)."""
+        regex = re.compile(pattern)
+        return [word for word, phones in self._items if regex.search(phones)]
+
+
+_GLOBAL_LEXICON: Optional[Lexicon] = None
+
+
+def get_lexicon() -> Lexicon:
+    global _GLOBAL_LEXICON
+    if _GLOBAL_LEXICON is None:
+        _GLOBAL_LEXICON = Lexicon()
+    return _GLOBAL_LEXICON
+
+
+class AdversarialTextGenerator:
+    """
+    Generate phonetically-adversarial words and phrases
+    (reference util/lang_util.py:40-167).
+    """
+
+    def __init__(
+        self,
+        partial_phrase_ratio: float = 0.10,
+        input_words_ratio: float = 0.33,
+        lexicon: Optional[Lexicon] = None,
+        **_compat_kwargs,
+    ) -> None:
+        self.partial_phrase_ratio = partial_phrase_ratio
+        self.input_words_ratio = input_words_ratio
+        self.lexicon = lexicon or get_lexicon()
+        self._phonemizer = SimplePhonemizer()
+
+    def _word_queries(self, phones: List[str]) -> List[str]:
+        """Wildcarded queries with freed vowel stress (lang_util.py:123-137)."""
+        freed = [
+            p + "[012]" if p in VOWEL_PHONEMES else p
+            for p in (re.sub(r"\d+", "", x) for x in phones)
+        ]
+        if len(freed) <= 2:
+            return [" ".join(freed)]
+        return replace_phonemes(freed, max_replace=max(0, len(freed) - 2))
+
+    def adversarial_words(self, word: str) -> List[str]:
+        """All lexicon words phonetically near ``word`` but not identical."""
+        word = word.lower()
+        phone_str = self.lexicon.phones_for_word(word)
+        if phone_str is None:
+            phones = self._phonemizer.word_phones(word)
+            phone_str = _stress_phones(phones)
+        phones = phone_str.split()
+        exact = " ".join(re.sub(r"\d+", "", p) for p in phones)
+
+        candidates: List[str] = []
+        for query in self._word_queries(phones):
+            for match in self.lexicon.search(query):
+                match_phones = self.lexicon.phones_for_word(match) or ""
+                match_exact = " ".join(re.sub(r"\d+", "", p) for p in match_phones.split())
+                if match_exact != exact and match != word:
+                    candidates.append(match)
+        return candidates
+
+    def __call__(
+        self,
+        input_text: str,
+        num_samples: Optional[int] = None,
+        seed: Optional[int] = None,
+    ) -> Iterator[str]:
+        rng = np.random.default_rng(seed)
+        words = input_text.split()
+        adversarial_per_word: List[List[str]] = []
+        for word in words:
+            found = self.adversarial_words(word)
+            if found:
+                adversarial_per_word.append(found)
+            else:
+                logger.warning(f"No adversarial candidates for '{word}'; keeping the word itself")
+                adversarial_per_word.append([word])
+
+        yielded = 0
+        while num_samples is None or yielded < num_samples:
+            parts: List[str] = []
+            for candidates, original in zip(adversarial_per_word, words):
+                if rng.random() > (1.0 - self.input_words_ratio):
+                    parts.append(original)
+                else:
+                    parts.append(str(candidates[rng.integers(0, len(candidates))]))
+
+            if len(words) > 1 and rng.random() <= self.partial_phrase_ratio:
+                n_words = int(rng.integers(1, len(words) + 1))
+                chosen = rng.choice(parts, size=n_words, replace=False)
+                adversarial_text = " ".join(str(c) for c in chosen)
+            else:
+                adversarial_text = " ".join(parts)
+
+            if adversarial_text != input_text:
+                yield adversarial_text
+                yielded += 1
+
+
+_GLOBAL_GENERATOR: Optional[AdversarialTextGenerator] = None
+
+
+def get_adversarial_text_generator(**kwargs) -> AdversarialTextGenerator:
+    """Shared generator instance (reference lang_util.py:169-178)."""
+    global _GLOBAL_GENERATOR
+    if _GLOBAL_GENERATOR is None:
+        _GLOBAL_GENERATOR = AdversarialTextGenerator(**kwargs)
+    return _GLOBAL_GENERATOR

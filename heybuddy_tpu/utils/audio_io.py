@@ -143,7 +143,9 @@ def audio_to_bct_array(
         items = [audio]
     elif isinstance(audio, np.ndarray):
         if audio.ndim == 3:
-            items = list(audio)
+            items = list(audio)  # (batch, channels, time)
+        elif audio.ndim == 2:
+            items = list(audio)  # (batch, time) mono clips
         else:
             items = [audio]
     elif isinstance(audio, Sequence):

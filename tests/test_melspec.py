@@ -1,0 +1,80 @@
+"""Mel spectrogram numerics: matmul-DFT vs an independent FFT reference."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from heybuddy_tpu.constants import (
+    MEL_BINS,
+    MEL_HOP_LENGTH,
+    MEL_LOG_EPS,
+    MEL_N_FFT,
+    MEL_SCALE_ADD,
+    MEL_SCALE_DIV,
+    MEL_WIN_LENGTH,
+)
+from heybuddy_tpu.ops.melspec import (
+    dft_basis,
+    frame_audio,
+    mel_filterbank,
+    mel_spectrogram,
+    num_frames,
+)
+
+
+def reference_logmel(audio: np.ndarray) -> np.ndarray:
+    """Plain numpy rFFT implementation of the same spectrogram definition."""
+    window = np.hanning(MEL_WIN_LENGTH + 1)[:MEL_WIN_LENGTH]
+    padded = np.zeros(MEL_N_FFT)
+    left = (MEL_N_FFT - MEL_WIN_LENGTH) // 2
+    padded[left : left + MEL_WIN_LENGTH] = window
+    n = num_frames(audio.shape[-1])
+    frames = np.stack([audio[i * MEL_HOP_LENGTH : i * MEL_HOP_LENGTH + MEL_N_FFT] for i in range(n)])
+    spec = np.fft.rfft(frames * padded, n=MEL_N_FFT, axis=-1)
+    power = np.abs(spec) ** 2
+    mel = power @ mel_filterbank()
+    return np.log(mel + MEL_LOG_EPS) / MEL_SCALE_DIV + MEL_SCALE_ADD
+
+
+def test_frame_count_contract():
+    # Matches the reference convention ceil(t/160 - 3) on its test shapes
+    # (reference embeddings.py:67, tests/test_embeddings.py).
+    assert num_frames(17280) == 105
+    assert num_frames(23040) == 141
+    for t in (17280, 23040, 32000, 16000):
+        assert num_frames(t) == int(np.ceil(t / 160 - 3))
+
+
+def test_frame_audio_extracts_strided_windows():
+    audio = jnp.asarray(np.arange(4096, dtype=np.float32)[None])
+    frames = np.asarray(frame_audio(audio))
+    assert frames.shape == (1, num_frames(4096), MEL_N_FFT)
+    np.testing.assert_array_equal(frames[0, 0], np.arange(512))
+    np.testing.assert_array_equal(frames[0, 1], np.arange(160, 672))
+
+
+def test_matmul_dft_matches_fft_reference():
+    rng = np.random.default_rng(0)
+    audio = rng.normal(0, 1000.0, (23040,)).astype(np.float32)
+    ours = np.asarray(mel_spectrogram(jnp.asarray(audio[None])))[0]
+    ref = reference_logmel(audio)
+    assert ours.shape == ref.shape == (141, MEL_BINS)
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_dft_basis_shape_and_energy():
+    basis = dft_basis()
+    assert basis.shape == (MEL_N_FFT, 2 * (MEL_N_FFT // 2 + 1))
+    fb = mel_filterbank()
+    assert fb.shape == (MEL_N_FFT // 2 + 1, MEL_BINS)
+    assert (fb >= 0).all()
+    # every mel bin has some support
+    assert (fb.sum(axis=0) > 0).all()
+
+
+def test_batched_equals_single():
+    rng = np.random.default_rng(1)
+    audio = rng.normal(0, 1000.0, (3, 23040)).astype(np.float32)
+    batched = np.asarray(mel_spectrogram(jnp.asarray(audio)))
+    for i in range(3):
+        single = np.asarray(mel_spectrogram(jnp.asarray(audio[i][None])))[0]
+        np.testing.assert_allclose(batched[i], single, rtol=1e-5, atol=1e-5)
