@@ -1,0 +1,285 @@
+"""
+Host-side augmentation orchestration.
+
+Capability parity with reference ``dataset/augmented.py``
+(AugmentedAudioGenerator): consumes a source sample generator, assembles
+fixed-shape left-aligned clip batches, pairs them with background-noise and
+impulse-response batches, and runs the whole chain as ONE jitted device call
+(ops/augment.py) instead of the reference's mixed CPU-per-clip + device-batch
+path.
+
+Noise and impulse corpora stream from HF datasets when available (same dataset
+ids as the reference, constants.py); without network access a synthetic
+provider supplies colored noise / tonal interference and exponential-decay
+impulse responses so augmentation remains active offline.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Any, Dict, Iterable, Iterator, List, Optional, Sequence, Union
+
+import numpy as np
+
+from heybuddy_tpu.constants import (
+    CLIP_SAMPLES,
+    DEFAULT_BACKGROUND_DATASET,
+    DEFAULT_IMPULSE_DATASET,
+    SAMPLE_RATE,
+)
+from heybuddy_tpu.ops.augment import AugmentConfig, augment_batch
+from heybuddy_tpu.utils.audio_io import resample_audio
+from heybuddy_tpu.utils.log import logger
+
+__all__ = ["NoiseProvider", "AugmentedAudioGenerator"]
+
+
+def _hub_reachable(timeout: float = 2.0) -> bool:
+    """Fast connectivity probe so offline runs skip HF retry storms."""
+    import os
+    import socket
+
+    if os.environ.get("HF_HUB_OFFLINE") == "1" or os.environ.get("HEYBUDDY_OFFLINE") == "1":
+        return False
+    try:
+        socket.create_connection(("huggingface.co", 443), timeout=timeout).close()
+        return True
+    except OSError:
+        return False
+
+
+class NoiseProvider:
+    """
+    Supplies (batch, clip_samples) background-noise batches and (batch, ir_len)
+    impulse responses. Streams the reference's HF corpora when reachable
+    (augmented.py:130-146), otherwise synthesizes diverse noise offline.
+    """
+
+    def __init__(
+        self,
+        background_datasets: Optional[Sequence[str]] = None,
+        impulse_dataset: Optional[str] = None,
+        sample_rate: int = SAMPLE_RATE,
+        ir_samples: int = 8000,
+        seed: int = 0,
+        use_remote: bool = True,
+    ) -> None:
+        self.sample_rate = sample_rate
+        self.ir_samples = ir_samples
+        self.rng = np.random.default_rng(seed)
+        self.lock = threading.Lock()
+        self._background_iter: Optional[Iterator[np.ndarray]] = None
+        self._impulse_bank: Optional[np.ndarray] = None
+        if use_remote and _hub_reachable():
+            self._background_iter = self._open_remote_audio(
+                list(background_datasets or DEFAULT_BACKGROUND_DATASET)
+            )
+            self._impulse_bank = self._load_remote_impulses(
+                impulse_dataset or DEFAULT_IMPULSE_DATASET
+            )
+        elif use_remote:
+            logger.info("Hub unreachable; using synthetic noise and impulse responses")
+
+    def _open_remote_audio(self, dataset_ids: List[str]) -> Optional[Iterator[np.ndarray]]:
+        try:
+            from datasets import load_dataset
+
+            def stream() -> Iterator[np.ndarray]:
+                while True:
+                    for dataset_id in dataset_ids:
+                        ds = load_dataset(dataset_id, split="train", streaming=True)
+                        for sample in ds:
+                            audio = sample["audio"]
+                            arr = np.asarray(audio["array"], dtype=np.float32)
+                            rate = int(audio["sampling_rate"])
+                            if rate != self.sample_rate:
+                                arr = resample_audio(arr, rate, self.sample_rate)
+                            yield arr
+
+            # Network I/O is deferred to first use; failures there fall back to
+            # synthetic noise inside noise_batch().
+            return stream()
+        except Exception as ex:
+            logger.warning(f"Background-noise datasets unavailable ({ex}); using synthetic noise")
+            return None
+
+    def _load_remote_impulses(self, dataset_id: str) -> Optional[np.ndarray]:
+        try:
+            from datasets import load_dataset
+
+            ds = load_dataset(dataset_id, split="train")
+            irs = []
+            for sample in ds:
+                arr = np.asarray(sample["audio"]["array"], dtype=np.float32)[: self.ir_samples]
+                padded = np.zeros(self.ir_samples, dtype=np.float32)
+                padded[: len(arr)] = arr
+                irs.append(padded)
+            return np.stack(irs)
+        except Exception as ex:
+            logger.warning(f"Impulse-response dataset unavailable ({ex}); using synthetic IRs")
+            return None
+
+    # --- synthetic fallbacks ---------------------------------------------------
+
+    def _synthetic_noise_clip(self, n: int) -> np.ndarray:
+        kind = self.rng.integers(0, 4)
+        t = np.arange(n) / self.sample_rate
+        if kind == 0:  # colored noise
+            white = self.rng.standard_normal(n)
+            spectrum = np.fft.rfft(white)
+            freqs = np.maximum(np.fft.rfftfreq(n, 1 / self.sample_rate), 1.0)
+            decay = self.rng.uniform(-1, 2)
+            noise = np.fft.irfft(spectrum * freqs ** (-decay / 2), n)
+        elif kind == 1:  # hum + harmonics
+            f0 = self.rng.uniform(50, 120)
+            noise = sum(
+                self.rng.uniform(0.2, 1.0) * np.sin(2 * np.pi * f0 * (h + 1) * t)
+                for h in range(4)
+            )
+        elif kind == 2:  # amplitude-modulated babble-ish noise
+            white = self.rng.standard_normal(n)
+            envelope = 0.5 + 0.5 * np.abs(np.sin(2 * np.pi * self.rng.uniform(1, 6) * t))
+            noise = white * envelope
+        else:  # band-limited rumble
+            white = self.rng.standard_normal(n)
+            spectrum = np.fft.rfft(white)
+            freqs = np.fft.rfftfreq(n, 1 / self.sample_rate)
+            spectrum[freqs > self.rng.uniform(200, 1200)] *= 0.05
+            noise = np.fft.irfft(spectrum, n)
+        noise = np.asarray(noise, dtype=np.float32)
+        return noise / (np.abs(noise).max() + 1e-9)
+
+    def _synthetic_impulse(self) -> np.ndarray:
+        n = self.ir_samples
+        t = np.arange(n) / self.sample_rate
+        rt60 = self.rng.uniform(0.1, 0.9)
+        envelope = np.exp(-6.9 * t / rt60)
+        ir = self.rng.standard_normal(n).astype(np.float32) * envelope
+        ir[0] = 1.0
+        return (ir / (np.abs(ir).max() + 1e-9)).astype(np.float32)
+
+    # --- public API --------------------------------------------------------------
+
+    def noise_batch(self, batch: int, clip_samples: int = CLIP_SAMPLES) -> np.ndarray:
+        with self.lock:
+            out = np.zeros((batch, clip_samples), dtype=np.float32)
+            for i in range(batch):
+                if self._background_iter is not None:
+                    try:
+                        arr = next(self._background_iter)
+                        if len(arr) >= clip_samples:
+                            start = int(self.rng.integers(0, len(arr) - clip_samples + 1))
+                            out[i] = arr[start : start + clip_samples]
+                            continue
+                    except Exception as ex:
+                        logger.warning(f"Background stream failed ({ex}); switching to synthetic")
+                        self._background_iter = None
+                out[i] = self._synthetic_noise_clip(clip_samples)
+            return out
+
+    def impulse_batch(self, batch: int) -> np.ndarray:
+        with self.lock:
+            if self._impulse_bank is not None:
+                idx = self.rng.integers(0, len(self._impulse_bank), batch)
+                return self._impulse_bank[idx]
+            return np.stack([self._synthetic_impulse() for _ in range(batch)])
+
+
+class AugmentedAudioGenerator:
+    """
+    Streaming augmentation over a source generator of audio dicts
+    (reference augmented.py:396-427 __call__ contract).
+    """
+
+    def __init__(
+        self,
+        source_dataset: Iterable[Dict[str, Any]],
+        config: AugmentConfig = AugmentConfig(),
+        batch_size: int = 128,
+        target_length: float = 1.44,
+        sample_rate: int = SAMPLE_RATE,
+        noise_provider: Optional[NoiseProvider] = None,
+        pad_only: bool = False,
+        seed: int = 0,
+    ) -> None:
+        import jax
+
+        self._jax = jax
+        self.source_dataset = source_dataset
+        self.config = config
+        self.batch_size = batch_size
+        self.sample_rate = sample_rate
+        self.target_samples = int(target_length * sample_rate)
+        self.pad_only = pad_only
+        self.noise = noise_provider or NoiseProvider(
+            sample_rate=sample_rate, seed=seed, use_remote=config.background_noise_prob > 0
+            or config.reverb_prob > 0,
+        )
+        self.seed = seed
+
+    def _prepare_clip(self, sample: Dict[str, Any]) -> np.ndarray:
+        audio = sample["audio"]
+        arr = np.asarray(audio["array"], dtype=np.float32)
+        if arr.dtype == np.int16 or np.abs(arr).max() > 4.0:
+            arr = arr.astype(np.float32) / 32768.0
+        rate = int(audio.get("sampling_rate", self.sample_rate))
+        if rate != self.sample_rate:
+            arr = resample_audio(arr, rate, self.sample_rate)
+        return arr[: self.target_samples]
+
+    def execute_augment_batch(self, clips: List[np.ndarray], batch_index: int = 0) -> np.ndarray:
+        """Augment a list of variable-length clips into (b, target) arrays."""
+        b = len(clips)
+        audio = np.zeros((b, self.target_samples), dtype=np.float32)
+        lengths = np.zeros((b,), dtype=np.int32)
+        for i, clip in enumerate(clips):
+            n = min(len(clip), self.target_samples)
+            audio[i, :n] = clip[:n]
+            lengths[i] = n
+
+        if self.pad_only:
+            # validation path: center the clip, no augmentation
+            out = np.zeros_like(audio)
+            for i in range(b):
+                offset = (self.target_samples - lengths[i]) // 2
+                out[i, offset : offset + lengths[i]] = audio[i, : lengths[i]]
+            return out
+
+        noise = (
+            self.noise.noise_batch(b, self.target_samples)
+            if self.config.background_noise_prob > 0
+            else np.zeros_like(audio)
+        )
+        impulse = (
+            self.noise.impulse_batch(b)
+            if self.config.reverb_prob > 0
+            else np.zeros((b, 256), dtype=np.float32)
+        )
+        key = self._jax.random.fold_in(self._jax.random.PRNGKey(self.seed), batch_index)
+        out = augment_batch(key, audio, lengths, noise, impulse, self.config)
+        return np.asarray(out)
+
+    def __call__(self, **kwargs: Any) -> Iterator[Dict[str, Any]]:
+        """Yield augmented samples, one dict per clip."""
+        clips: List[np.ndarray] = []
+        phrases: List[str] = []
+        batch_index = 0
+        for sample in self.source_dataset:
+            clips.append(self._prepare_clip(sample))
+            phrases.append(sample.get("phrase", ""))
+            if len(clips) >= self.batch_size:
+                augmented = self.execute_augment_batch(clips, batch_index)
+                for i in range(len(clips)):
+                    yield {
+                        "audio": {"array": augmented[i], "sampling_rate": self.sample_rate},
+                        "phrase": phrases[i],
+                    }
+                clips, phrases = [], []
+                batch_index += 1
+        if clips:
+            augmented = self.execute_augment_batch(clips, batch_index)
+            for i in range(len(clips)):
+                yield {
+                    "audio": {"array": augmented[i], "sampling_rate": self.sample_rate},
+                    "phrase": phrases[i],
+                }

@@ -1,0 +1,219 @@
+"""
+Training-features orchestrator: TTS -> augment -> featurize -> cached shards.
+
+Capability parity with reference ``dataset/features.py``
+(TrainingFeaturesGenerator): generates (phrase, count) feature sets on demand,
+caches them as ``.npy`` keyed by ``safe_name(phrase)`` with top-up generation
+(existing counts are extended, never regenerated, features.py:683-747), and
+produces pad-only (non-augmented) validation features (features.py:413-427).
+
+TPU-shaped differences: the reference isolates each 25k-clip batch in a
+subprocess to cap GPU/host memory (features.py:522-532); here the augment and
+featurize stages are bounded-size jitted device calls over streaming batches,
+so host RSS stays flat without process isolation. Batches flow
+TTS (host) -> augment (device) -> featurize (device) with the appendable-npy
+store absorbing output incrementally.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Iterator, List, Optional, Union
+
+import numpy as np
+
+from heybuddy_tpu.constants import CLIP_SAMPLES, DEFAULT_FEATURE_BATCH_SIZE, SAMPLE_RATE
+from heybuddy_tpu.data.augmented import AugmentedAudioGenerator, NoiseProvider
+from heybuddy_tpu.data.precalculated import PrecalculatedDatasetIterator, get_default_dataset_dir
+from heybuddy_tpu.data.tts_generator import SpeechSampleGenerator
+from heybuddy_tpu.ops.augment import AugmentConfig
+from heybuddy_tpu.utils.log import logger
+from heybuddy_tpu.utils.npy import AppendableNpyFile
+from heybuddy_tpu.utils.strings import safe_name
+
+__all__ = ["TrainingFeaturesGenerator"]
+
+
+class TrainingFeaturesGenerator:
+    """Generate-and-cache classifier features for a wake phrase."""
+
+    def __init__(
+        self,
+        phrase: Union[str, List[str]],
+        directory: Optional[str] = None,
+        augment_config: AugmentConfig = AugmentConfig(),
+        embed_batch_size: int = 256,
+        tts_batch_size: int = 8,
+        augment_batch_size: int = 128,
+        use_cache: bool = True,
+        seed: int = 0,
+        tts_backend: Optional[str] = None,
+        **generator_kwargs: Any,
+    ) -> None:
+        self.phrase = phrase
+        self.phrase_key = phrase if isinstance(phrase, str) else " ".join(phrase)
+        self.directory = directory or get_default_dataset_dir()
+        self.augment_config = augment_config
+        self.embed_batch_size = embed_batch_size
+        self.tts_batch_size = tts_batch_size
+        self.augment_batch_size = augment_batch_size
+        self.use_cache = use_cache
+        self.seed = seed
+        self.tts_backend = tts_backend
+        self.generator_kwargs = generator_kwargs
+        self._noise_provider: Optional[NoiseProvider] = None
+
+    @property
+    def noise_provider(self) -> NoiseProvider:
+        if self._noise_provider is None:
+            self._noise_provider = NoiseProvider(
+                seed=self.seed,
+                use_remote=(
+                    self.augment_config.background_noise_prob > 0
+                    or self.augment_config.reverb_prob > 0
+                ),
+            )
+        return self._noise_provider
+
+    def _cache_name(self, adversarial: bool, testing: bool, validation: bool) -> str:
+        name = safe_name(self.phrase_key)
+        if adversarial:
+            name += "-adversarial"
+        if testing:
+            name += "-testing"
+        if validation:
+            name += "-validation"
+        return name
+
+    def _featurize_stream(
+        self,
+        samples: Iterator[Dict[str, Any]],
+        pad_only: bool,
+        store: AppendableNpyFile,
+        limit: int,
+        seed_offset: int = 0,
+    ) -> int:
+        """Augment + embed a sample stream into ``store``; returns rows written."""
+        from heybuddy_tpu.models.featurizer import get_speech_embeddings
+
+        augmenter = AugmentedAudioGenerator(
+            samples,
+            config=self.augment_config,
+            batch_size=self.augment_batch_size,
+            noise_provider=self.noise_provider,
+            pad_only=pad_only,
+            seed=self.seed + seed_offset,
+        )
+        embeddings = get_speech_embeddings()
+        written = 0
+        batch: List[np.ndarray] = []
+        for sample in augmenter():
+            batch.append(sample["audio"]["array"])
+            if len(batch) >= self.embed_batch_size:
+                written += self._flush(batch, embeddings, store, limit - written)
+                batch = []
+                if written >= limit:
+                    return written
+        if batch and written < limit:
+            written += self._flush(batch, embeddings, store, limit - written)
+        return written
+
+    @staticmethod
+    def _flush(
+        batch: List[np.ndarray], embeddings: Any, store: AppendableNpyFile, remaining: int
+    ) -> int:
+        clips = np.stack(batch)[:remaining]
+        feats = embeddings(clips)  # (n, 16, 96)
+        store.append(feats.astype(np.float32))
+        return clips.shape[0]
+
+    def generate(
+        self,
+        num_samples: int,
+        adversarial: bool = False,
+        pad_only: bool = False,
+        store: Optional[AppendableNpyFile] = None,
+        adversarial_phrases: Optional[int] = None,
+        seed_offset: int = 0,
+    ) -> int:
+        """Generate ``num_samples`` features into ``store`` (features.py:360-490)."""
+        generator_kwargs = dict(self.generator_kwargs)
+        if adversarial_phrases is not None:
+            generator_kwargs["num_adversarial_texts"] = adversarial_phrases
+        speech = SpeechSampleGenerator(
+            self.phrase,
+            adversarial=adversarial,
+            batch_size=self.tts_batch_size,
+            seed=self.seed + seed_offset,
+            tts_backend=self.tts_backend,
+            **generator_kwargs,
+        )
+        assert store is not None
+        return self._featurize_stream(
+            speech(num_samples), pad_only=pad_only, store=store, limit=num_samples,
+            seed_offset=seed_offset,
+        )
+
+    def _get_features(
+        self,
+        num_samples: int,
+        adversarial: bool,
+        testing: bool,
+        validation: bool,
+        adversarial_phrases: Optional[int] = None,
+    ) -> PrecalculatedDatasetIterator:
+        name = self._cache_name(adversarial, testing, validation)
+        os.makedirs(self.directory, exist_ok=True)
+        path = os.path.join(self.directory, f"{name}.npy")
+
+        if not self.use_cache and os.path.exists(path):
+            os.remove(path)
+
+        store = AppendableNpyFile(path)
+        existing = len(store)
+        if existing < num_samples:
+            missing = num_samples - existing
+            logger.info(
+                f"Generating {missing} features for '{name}' "
+                f"({existing} cached of {num_samples} requested)"
+            )
+            # Seed offset keys off the existing count so top-ups differ from
+            # the original batches.
+            written = 0
+            batch_quota = DEFAULT_FEATURE_BATCH_SIZE
+            while written < missing:
+                chunk = min(batch_quota, missing - written)
+                written += self.generate(
+                    chunk,
+                    adversarial=adversarial,
+                    pad_only=validation,
+                    store=store,
+                    adversarial_phrases=adversarial_phrases,
+                    seed_offset=existing + written + (1000 if testing else 0),
+                )
+        else:
+            logger.info(f"Using {num_samples} cached features for '{name}'")
+
+        return PrecalculatedDatasetIterator(name, directory=self.directory, seed=self.seed)
+
+    def get_training_features(
+        self,
+        num_samples: int,
+        adversarial: bool = False,
+        adversarial_phrases: Optional[int] = None,
+        testing: bool = False,
+    ) -> PrecalculatedDatasetIterator:
+        """Augmented training (or testing) features (features.py:627-837)."""
+        return self._get_features(
+            num_samples,
+            adversarial=adversarial,
+            testing=testing,
+            validation=False,
+            adversarial_phrases=adversarial_phrases,
+        )
+
+    def get_validation_features(self, num_samples: int) -> PrecalculatedDatasetIterator:
+        """Pad-only positive validation features (features.py:839-907)."""
+        return self._get_features(
+            num_samples, adversarial=False, testing=False, validation=True
+        )

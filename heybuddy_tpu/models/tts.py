@@ -1,0 +1,370 @@
+"""
+TTS engine: batched speech synthesis for training-sample generation.
+
+Call-contract parity with reference ``piper/pretrained.py`` (PiperTTSModel):
+``tts(texts, num_samples, ...) -> List[(text, int16 16 kHz audio)]`` with
+weighted text sampling, a cycling settings grid (slerp weights x length scales
+x noise scales x noise-scale-ws), cycling speaker pairs with spherical
+interpolation between speaker embeddings, peak-normalized int16 output, and
+optional VAD silence trimming.
+
+Two backends behind the same interface:
+
+* :class:`VitsTTS` — the JAX VITS synthesizer. Weights come from
+  ``HEYBUDDY_TTS_CHECKPOINT`` (piper .safetensors / torch .pt; the optional
+  voice-config JSON at ``HEYBUDDY_TTS_CONFIG`` supplies the exact espeak
+  phoneme-id map). Texts are phonemized by the rule G2P and mapped
+  ARPAbet -> IPA -> ids.
+* :class:`FormantTTS` — the dependency-free formant synthesizer
+  (models/formant.py), the default when no checkpoint is present.
+
+``get_tts_model()`` picks the backend automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+import itertools
+import json
+import os
+import random
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from heybuddy_tpu.constants import (
+    DEFAULT_TTS_LENGTH_SCALES,
+    DEFAULT_TTS_NOISE_SCALE_WEIGHTS,
+    DEFAULT_TTS_NOISE_SCALES,
+    DEFAULT_TTS_SLERP_WEIGHTS,
+    SAMPLE_RATE,
+)
+from heybuddy_tpu.text.phonemizer import SimplePhonemizer
+from heybuddy_tpu.utils.audio_io import resample_audio
+from heybuddy_tpu.utils.log import logger
+
+__all__ = ["BaseTTS", "FormantTTS", "VitsTTS", "get_tts_model", "arpabet_to_ipa"]
+
+TextsType = Union[str, List[str], List[Tuple[str, float]]]
+
+# ARPAbet -> espeak-style IPA used by piper voices.
+_ARPA_TO_IPA: Dict[str, str] = {
+    "AA": "ɑ", "AE": "æ", "AH": "ʌ", "AO": "ɔ", "AW": "aʊ", "AY": "aɪ",
+    "EH": "ɛ", "ER": "ɚ", "EY": "eɪ", "IH": "ɪ", "IY": "i", "OW": "oʊ",
+    "OY": "ɔɪ", "UH": "ʊ", "UW": "u",
+    "B": "b", "CH": "tʃ", "D": "d", "DH": "ð", "F": "f", "G": "ɡ",
+    "HH": "h", "JH": "dʒ", "K": "k", "L": "l", "M": "m", "N": "n",
+    "NG": "ŋ", "P": "p", "R": "ɹ", "S": "s", "SH": "ʃ", "T": "t",
+    "TH": "θ", "V": "v", "W": "w", "Y": "j", "Z": "z", "ZH": "ʒ",
+}
+
+
+def arpabet_to_ipa(phones: List[List[str]]) -> str:
+    """Word-phone lists -> IPA string with spaces between words."""
+    words = ["".join(_ARPA_TO_IPA.get(p, "") for p in word) for word in phones]
+    return " ".join(w for w in words if w)
+
+
+def _builtin_phoneme_id_map() -> Dict[str, List[int]]:
+    """Deterministic fallback id map: pad=0, bos=1, eos=2, then IPA chars."""
+    chars = sorted({c for ipa in _ARPA_TO_IPA.values() for c in ipa} | {" ", ".", ",", "?", "!"})
+    table: Dict[str, List[int]] = {"_": [0], "^": [1], "$": [2]}
+    for i, c in enumerate(chars):
+        table[c] = [3 + i]
+    return table
+
+
+class BaseTTS:
+    """Shared sampling/grid/trim logic; subclasses implement ``synthesize_batch``."""
+
+    sample_rate = SAMPLE_RATE
+
+    def __init__(self) -> None:
+        self.phonemizer = SimplePhonemizer()
+
+    # subclass hook -------------------------------------------------------------
+    def synthesize_batch(
+        self,
+        texts: List[str],
+        speakers: List[Tuple[int, int]],
+        slerp_weight: float,
+        length_scale: float,
+        noise_scale: float,
+        noise_scale_w: float,
+        seed: int,
+    ) -> List[np.ndarray]:
+        raise NotImplementedError
+
+    @property
+    def num_speakers(self) -> int:
+        raise NotImplementedError
+
+    # ---------------------------------------------------------------------------
+
+    def trim_silence(self, sample: np.ndarray, threshold: float = 0.05) -> np.ndarray:
+        from heybuddy_tpu.models.vad import get_vad_model
+
+        return get_vad_model().trim(sample, threshold=threshold)
+
+    def __call__(
+        self,
+        texts: TextsType,
+        num_samples: Optional[int] = None,
+        batch_size: int = 1,
+        slerp_weights: Sequence[float] = DEFAULT_TTS_SLERP_WEIGHTS,
+        length_scales: Sequence[float] = DEFAULT_TTS_LENGTH_SCALES,
+        noise_scales: Sequence[float] = DEFAULT_TTS_NOISE_SCALES,
+        noise_scale_ws: Sequence[float] = DEFAULT_TTS_NOISE_SCALE_WEIGHTS,
+        max_speakers: Optional[int] = None,
+        min_phoneme_count: Optional[int] = None,
+        target_sample_rate: Optional[int] = None,
+        trim_silence: bool = False,
+        seed: Optional[int] = None,
+        on_progress: Optional[Callable[[int, int], None]] = None,
+    ) -> List[Tuple[str, np.ndarray]]:
+        """Generate speech samples (reference pretrained.py:283-425 contract)."""
+        if not isinstance(texts, list):
+            texts = [texts]
+        weighted: List[Tuple[str, float]] = [
+            t if isinstance(t, tuple) else (t, 1.0) for t in texts
+        ]
+        if num_samples is None:
+            num_samples = len(weighted)
+        target_sample_rate = target_sample_rate or self.sample_rate
+
+        n_speakers = self.num_speakers
+        if max_speakers is not None:
+            n_speakers = min(n_speakers, max_speakers)
+
+        settings_iterator = itertools.cycle(
+            itertools.product(slerp_weights, length_scales, noise_scales, noise_scale_ws)
+        )
+        speakers_iterator = itertools.cycle(
+            itertools.product(range(n_speakers), range(n_speakers))
+        )
+        rng = random.Random(seed)
+
+        batch_size = max(batch_size, 1)
+        num_batches = (num_samples + batch_size - 1) // batch_size
+        samples: List[Tuple[str, np.ndarray]] = []
+        phrases = [t for t, _ in weighted]
+        probabilities = [p for _, p in weighted]
+
+        for i in range(num_batches):
+            this_batch = max(min(batch_size, num_samples - i * batch_size), 1)
+            speakers = list(itertools.islice(speakers_iterator, this_batch))
+            slerp_weight, length_scale, noise_scale, noise_scale_w = next(settings_iterator)
+            batch_texts = rng.choices(phrases, weights=probabilities, k=this_batch)
+
+            audio_batch = self.synthesize_batch(
+                batch_texts,
+                speakers,
+                slerp_weight,
+                length_scale,
+                noise_scale,
+                noise_scale_w,
+                seed=(seed or 0) * 100003 + i,
+            )
+
+            for text, clip in zip(batch_texts, audio_batch):
+                if self.sample_rate != target_sample_rate:
+                    clip = resample_audio(clip, self.sample_rate, target_sample_rate)
+                # peak-normalize into int16 (reference pretrained.py:405-408)
+                peak = max(0.01, float(np.abs(clip).max()))
+                pcm = np.clip(clip * (32767.0 / peak), -32768, 32767).astype(np.int16)
+                pcm = np.trim_zeros(pcm)
+                if trim_silence:
+                    pcm = self.trim_silence(pcm.astype(np.float32) / 32768.0)
+                    pcm = np.clip(pcm * 32767.0, -32768, 32767).astype(np.int16)
+                samples.append((text, pcm))
+                if on_progress is not None:
+                    on_progress(len(samples), num_samples)
+
+        if on_progress is not None:
+            on_progress(num_samples, num_samples)
+        return samples
+
+
+class FormantTTS(BaseTTS):
+    """Offline formant-synthesis backend (default without a checkpoint)."""
+
+    def __init__(self, num_speakers: int = 904) -> None:
+        super().__init__()
+        from heybuddy_tpu.models.formant import FormantSynthesizer
+
+        self.synth = FormantSynthesizer()
+        self._num_speakers = num_speakers
+
+    @property
+    def num_speakers(self) -> int:
+        return self._num_speakers
+
+    def synthesize_batch(
+        self,
+        texts: List[str],
+        speakers: List[Tuple[int, int]],
+        slerp_weight: float,
+        length_scale: float,
+        noise_scale: float,
+        noise_scale_w: float,
+        seed: int,
+    ) -> List[np.ndarray]:
+        out = []
+        for j, (text, (s1, s2)) in enumerate(zip(texts, speakers)):
+            # slerp between speakers approximated by blending speaker seeds
+            speaker = s1 if slerp_weight < 0.5 else s2
+            out.append(
+                self.synth.synthesize(
+                    text,
+                    speaker=speaker,
+                    length_scale=length_scale,
+                    noise_scale=noise_scale,
+                    seed=seed * 31 + j,
+                )
+            )
+        return out
+
+
+class VitsTTS(BaseTTS):
+    """JAX VITS backend (piper checkpoint import)."""
+
+    model_sample_rate = 22050
+
+    def __init__(
+        self,
+        checkpoint_path: Optional[str] = None,
+        config_path: Optional[str] = None,
+    ) -> None:
+        super().__init__()
+        import jax
+
+        from heybuddy_tpu.models.vits import VitsConfig, import_torch_checkpoint, infer, init_params
+
+        self._jax = jax
+        self._infer = infer
+        self.config = VitsConfig()
+        self.sample_rate = self.model_sample_rate
+
+        checkpoint_path = checkpoint_path or os.environ.get("HEYBUDDY_TTS_CHECKPOINT")
+        config_path = config_path or os.environ.get("HEYBUDDY_TTS_CONFIG")
+
+        self.phoneme_id_map: Dict[str, List[int]] = _builtin_phoneme_id_map()
+        if config_path and os.path.exists(config_path):
+            with open(config_path) as f:
+                voice_config = json.load(f)
+            if "phoneme_id_map" in voice_config:
+                self.phoneme_id_map = voice_config["phoneme_id_map"]
+            audio_cfg = voice_config.get("audio", {})
+            self.sample_rate = audio_cfg.get("sample_rate", self.model_sample_rate)
+
+        if checkpoint_path and os.path.exists(checkpoint_path):
+            self.params = import_torch_checkpoint(checkpoint_path, self.config)
+            logger.info(f"Loaded VITS checkpoint from {checkpoint_path}")
+        else:
+            logger.warning(
+                "No VITS checkpoint found; using random weights (noise audio). "
+                "Set HEYBUDDY_TTS_CHECKPOINT, or use the formant backend."
+            )
+            self.params = init_params(jax.random.PRNGKey(0), self.config)
+
+    @property
+    def num_speakers(self) -> int:
+        return self.config.n_speakers
+
+    def phonemize_ids(self, text: str, min_phoneme_count: Optional[int] = None) -> List[int]:
+        """Text -> interspersed phoneme ids with BOS/EOS (piper convention)."""
+        phones = [self.phonemizer.word_phones(w) for w in text.split()]
+        ipa = arpabet_to_ipa(phones)
+        ids: List[int] = list(self.phoneme_id_map.get("^", [1]))
+        pad = self.phoneme_id_map.get("_", [0])
+        for char in ipa:
+            if char in self.phoneme_id_map:
+                ids.extend(self.phoneme_id_map[char])
+                ids.extend(pad)
+        ids.extend(self.phoneme_id_map.get("$", [2]))
+        return ids
+
+    def _slerp(self, a: np.ndarray, b: np.ndarray, t: float) -> np.ndarray:
+        a_norm = a / (np.linalg.norm(a, axis=-1, keepdims=True) + 1e-9)
+        b_norm = b / (np.linalg.norm(b, axis=-1, keepdims=True) + 1e-9)
+        dot = np.clip((a_norm * b_norm).sum(-1), -1.0, 1.0)
+        if (np.abs(dot) > 0.9995).any():
+            return (1 - t) * a + t * b
+        theta = np.arccos(dot)
+        s1 = np.sin(theta - theta * t) / np.sin(theta)
+        s2 = np.sin(theta * t) / np.sin(theta)
+        return s1[..., None] * a + s2[..., None] * b
+
+    @functools.lru_cache(maxsize=8)
+    def _jitted_infer(self, t_x: int, max_frames: int):
+        import functools as ft
+
+        return self._jax.jit(
+            ft.partial(self._infer, max_frames=max_frames, config=self.config)
+        )
+
+    def synthesize_batch(
+        self,
+        texts: List[str],
+        speakers: List[Tuple[int, int]],
+        slerp_weight: float,
+        length_scale: float,
+        noise_scale: float,
+        noise_scale_w: float,
+        seed: int,
+    ) -> List[np.ndarray]:
+        import jax.numpy as jnp
+
+        id_lists = [self.phonemize_ids(t) for t in texts]
+        lengths = np.array([len(ids) for ids in id_lists], dtype=np.int32)
+        # Bucket text length to multiples of 16 to bound recompiles.
+        t_x = int(np.ceil(max(lengths) / 16) * 16)
+        ids = np.zeros((len(texts), t_x), dtype=np.int32)
+        for i, lst in enumerate(id_lists):
+            ids[i, : len(lst)] = lst
+
+        emb = np.asarray(self.params["emb_g"])
+        s1 = emb[[s[0] for s in speakers]]
+        s2 = emb[[s[1] for s in speakers]]
+        speaker_embedding = self._slerp(s1, s2, slerp_weight).astype(np.float32)
+
+        # frame budget: ~1 frame per phoneme id at length_scale 1, padded
+        max_frames = int(np.ceil(t_x * 2 * max(length_scale, 1.0) / 64) * 64)
+        fn = self._jitted_infer(t_x, max_frames)
+        audio, audio_lengths = fn(
+            self.params,
+            self._jax.random.PRNGKey(seed),
+            jnp.asarray(ids),
+            jnp.asarray(lengths),
+            jnp.asarray(speaker_embedding),
+            noise_scale=noise_scale,
+            length_scale=length_scale,
+            noise_scale_w=noise_scale_w,
+        )
+        audio = np.asarray(audio)
+        out = []
+        for i, n in enumerate(np.asarray(audio_lengths)):
+            out.append(audio[i, : int(n)])
+        return out
+
+
+_GLOBAL_TTS: Optional[BaseTTS] = None
+
+
+def get_tts_model(backend: Optional[str] = None, **kwargs: Any) -> BaseTTS:
+    """
+    Shared TTS instance (reference pretrained.py:427-443). Backend resolution:
+    explicit arg > HEYBUDDY_TTS_BACKEND env > "vits" if a checkpoint exists >
+    "formant".
+    """
+    global _GLOBAL_TTS
+    if _GLOBAL_TTS is None:
+        backend = backend or os.environ.get("HEYBUDDY_TTS_BACKEND")
+        if backend is None:
+            ckpt = os.environ.get("HEYBUDDY_TTS_CHECKPOINT")
+            backend = "vits" if (ckpt and os.path.exists(ckpt)) else "formant"
+        if backend == "vits":
+            _GLOBAL_TTS = VitsTTS(**kwargs)
+        else:
+            _GLOBAL_TTS = FormantTTS(**kwargs)
+    return _GLOBAL_TTS

@@ -1,0 +1,326 @@
+"""
+On-device audio augmentation chain.
+
+Capability parity with reference ``dataset/augmented.py`` (SevenBandParametricEQ
++ TanhDistortion per clip; PitchShift, BandStopFilter, AddColoredNoise, Gain
+batched; background-noise SNR mixing; impulse-response reverb; random center
+padding) — re-designed for TPU:
+
+* Everything is a pure jitted function over a whole HBM-resident batch with
+  per-clip PRNG keys; per-op application probabilities become ``jnp.where``
+  masks (no dynamic shapes, no host round-trips).
+* IIR filters (EQ bands, band-stop) would serialize on the VPU, so they are
+  realized as smooth magnitude responses applied in the rFFT domain — the
+  standard TPU-native equivalent with matched dB characteristics.
+* Reverb is overlap-free full convolution via a single padded rFFT
+  (the speechbrain ``reverberate`` equivalent, reference augmented.py:387-392).
+* Pitch shift is a resampling phase shift with length restoration, applied
+  per batch like torch-audiomentations' ``mode="per_batch"``.
+
+Default probabilities/ranges come from constants.py (same values as the
+reference's).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from heybuddy_tpu.constants import (
+    CLIP_SAMPLES,
+    DEFAULT_AUGMENT_BACKGROUND_NOISE_MAX_SNR_DB,
+    DEFAULT_AUGMENT_BACKGROUND_NOISE_MIN_SNR_DB,
+    DEFAULT_AUGMENT_BACKGROUND_NOISE_PROB,
+    DEFAULT_AUGMENT_BAND_STOP_PROB,
+    DEFAULT_AUGMENT_COLORED_NOISE_MAX_F_DECAY,
+    DEFAULT_AUGMENT_COLORED_NOISE_MAX_SNR_DB,
+    DEFAULT_AUGMENT_COLORED_NOISE_MIN_F_DECAY,
+    DEFAULT_AUGMENT_COLORED_NOISE_MIN_SNR_DB,
+    DEFAULT_AUGMENT_COLORED_NOISE_PROB,
+    DEFAULT_AUGMENT_GAIN_MAX_DB,
+    DEFAULT_AUGMENT_GAIN_MIN_DB,
+    DEFAULT_AUGMENT_GAIN_PROB,
+    DEFAULT_AUGMENT_PITCH_SHIFT_PROB,
+    DEFAULT_AUGMENT_PITCH_SHIFT_SEMITONES,
+    DEFAULT_AUGMENT_REVERB_PROB,
+    DEFAULT_AUGMENT_SEVEN_BAND_GAIN_DB,
+    DEFAULT_AUGMENT_SEVEN_BAND_PROB,
+    DEFAULT_AUGMENT_TANH_DISTORTION_PROB,
+    DEFAULT_AUGMENT_TANH_MAX_DISTORTION,
+    DEFAULT_AUGMENT_TANH_MIN_DISTORTION,
+    SAMPLE_RATE,
+)
+
+__all__ = ["AugmentConfig", "augment_batch", "random_center_pad"]
+
+
+class AugmentConfig(NamedTuple):
+    """Static augmentation configuration (hashable: safe as a jit static arg)."""
+
+    seven_band_prob: float = DEFAULT_AUGMENT_SEVEN_BAND_PROB
+    seven_band_gain_db: float = DEFAULT_AUGMENT_SEVEN_BAND_GAIN_DB
+    tanh_distortion_prob: float = DEFAULT_AUGMENT_TANH_DISTORTION_PROB
+    tanh_min_distortion: float = DEFAULT_AUGMENT_TANH_MIN_DISTORTION
+    tanh_max_distortion: float = DEFAULT_AUGMENT_TANH_MAX_DISTORTION
+    pitch_shift_prob: float = DEFAULT_AUGMENT_PITCH_SHIFT_PROB
+    pitch_shift_semitones: int = DEFAULT_AUGMENT_PITCH_SHIFT_SEMITONES
+    band_stop_prob: float = DEFAULT_AUGMENT_BAND_STOP_PROB
+    colored_noise_prob: float = DEFAULT_AUGMENT_COLORED_NOISE_PROB
+    colored_noise_min_snr_db: float = DEFAULT_AUGMENT_COLORED_NOISE_MIN_SNR_DB
+    colored_noise_max_snr_db: float = DEFAULT_AUGMENT_COLORED_NOISE_MAX_SNR_DB
+    colored_noise_min_f_decay: float = DEFAULT_AUGMENT_COLORED_NOISE_MIN_F_DECAY
+    colored_noise_max_f_decay: float = DEFAULT_AUGMENT_COLORED_NOISE_MAX_F_DECAY
+    background_noise_prob: float = DEFAULT_AUGMENT_BACKGROUND_NOISE_PROB
+    background_noise_min_snr_db: float = DEFAULT_AUGMENT_BACKGROUND_NOISE_MIN_SNR_DB
+    background_noise_max_snr_db: float = DEFAULT_AUGMENT_BACKGROUND_NOISE_MAX_SNR_DB
+    gain_prob: float = DEFAULT_AUGMENT_GAIN_PROB
+    gain_min_db: float = DEFAULT_AUGMENT_GAIN_MIN_DB
+    gain_max_db: float = DEFAULT_AUGMENT_GAIN_MAX_DB
+    reverb_prob: float = DEFAULT_AUGMENT_REVERB_PROB
+    target_samples: int = CLIP_SAMPLES
+    sample_rate: int = SAMPLE_RATE
+
+
+def _db_to_amp(db: jax.Array) -> jax.Array:
+    return 10.0 ** (db / 20.0)
+
+
+def _rms(x: jax.Array, axis: int = -1) -> jax.Array:
+    return jnp.sqrt(jnp.mean(jnp.square(x), axis=axis, keepdims=True) + 1e-12)
+
+
+def random_center_pad(
+    key: jax.Array,
+    audio: jax.Array,
+    lengths: jax.Array,
+    target_samples: int = CLIP_SAMPLES,
+) -> jax.Array:
+    """
+    Place each left-aligned clip at a random offset inside the target window
+    (reference augmented.py:200-232 random center padding).
+
+    ``audio``: (b, target_samples) zero-padded left-aligned; ``lengths``: (b,).
+    """
+    b = audio.shape[0]
+    free = jnp.maximum(target_samples - lengths, 0)
+    offsets = (jax.random.uniform(key, (b,)) * (free + 1).astype(jnp.float32)).astype(jnp.int32)
+    offsets = jnp.minimum(offsets, free)
+
+    def roll_one(clip: jax.Array, shift: jax.Array) -> jax.Array:
+        return jnp.roll(clip, shift)
+
+    return jax.vmap(roll_one)(audio, offsets)
+
+
+def _seven_band_eq(key: jax.Array, audio: jax.Array, cfg: AugmentConfig) -> jax.Array:
+    """7-band parametric EQ as a smooth log-frequency gain curve in rFFT domain."""
+    b, t = audio.shape
+    n_freqs = t // 2 + 1
+    k_gain, _ = jax.random.split(key)
+    gains_db = jax.random.uniform(
+        k_gain, (b, 7), minval=-cfg.seven_band_gain_db, maxval=cfg.seven_band_gain_db
+    )
+    # Band centers log-spaced 40 Hz .. 0.45 * sr (audiomentations convention).
+    centers = np.geomspace(40.0, 0.45 * cfg.sample_rate, 7).astype(np.float32)
+    log_centers = jnp.log(jnp.asarray(centers))
+    freqs = jnp.linspace(0.0, cfg.sample_rate / 2.0, n_freqs)
+    log_f = jnp.log(jnp.maximum(freqs, 1.0))
+    # Gaussian interpolation kernels over log-frequency -> smooth response.
+    bandwidth = (log_centers[1] - log_centers[0]) * 0.7
+    weights = jnp.exp(-0.5 * ((log_f[:, None] - log_centers[None, :]) / bandwidth) ** 2)
+    weights = weights / (weights.sum(axis=1, keepdims=True) + 1e-9)
+    response_db = weights @ gains_db.T  # (n_freqs, b)
+    response = _db_to_amp(response_db.T)  # (b, n_freqs)
+    spectrum = jnp.fft.rfft(audio, axis=-1)
+    return jnp.fft.irfft(spectrum * response, n=t, axis=-1)
+
+
+def _tanh_distortion(key: jax.Array, audio: jax.Array, cfg: AugmentConfig) -> jax.Array:
+    """Tanh waveshaping with RMS restoration (audiomentations TanhDistortion)."""
+    b, _ = audio.shape
+    amount = jax.random.uniform(
+        key, (b, 1), minval=cfg.tanh_min_distortion, maxval=cfg.tanh_max_distortion
+    )
+    # Map distortion amount to a pre-gain (audiomentations uses ~ 1/(1-d) style
+    # curves; this matches its perceptual range for d in [1e-4, 0.1]).
+    gain = 1.0 + 20.0 * amount
+    rms_before = _rms(audio)
+    distorted = jnp.tanh(audio * gain / (rms_before + 1e-9) * 0.5)
+    return distorted * rms_before / (_rms(distorted) + 1e-9) * 2.0
+
+
+def _pitch_shift(key: jax.Array, audio: jax.Array, cfg: AugmentConfig) -> jax.Array:
+    """
+    Per-batch resampling pitch shift: read the waveform at a constant-rate
+    offset grid (linear interpolation), which shifts pitch by the resample
+    ratio; the window is refilled by tiling so length is preserved.
+    """
+    b, t = audio.shape
+    semis = jax.random.uniform(
+        key, (), minval=-float(cfg.pitch_shift_semitones), maxval=float(cfg.pitch_shift_semitones)
+    )
+    ratio = 2.0 ** (semis / 12.0)
+    positions = jnp.arange(t, dtype=jnp.float32) * ratio
+    positions = jnp.mod(positions, t - 1.0)
+    lower = jnp.floor(positions).astype(jnp.int32)
+    frac = positions - lower.astype(jnp.float32)
+    upper = jnp.minimum(lower + 1, t - 1)
+    return audio[:, lower] * (1.0 - frac) + audio[:, upper] * frac
+
+
+def _band_stop(key: jax.Array, audio: jax.Array, cfg: AugmentConfig) -> jax.Array:
+    """Random band-stop notch in the rFFT domain (torch-audiomentations ranges)."""
+    b, t = audio.shape
+    n_freqs = t // 2 + 1
+    k_center, k_width = jax.random.split(key)
+    # torch-audiomentations BandStopFilter: center 200-4000 Hz, bandwidth
+    # fraction 0.5-1.99 of center.
+    center = 2.0 ** jax.random.uniform(
+        k_center, (b, 1), minval=np.log2(200.0), maxval=np.log2(4000.0)
+    )
+    fraction = jax.random.uniform(k_width, (b, 1), minval=0.5, maxval=1.99)
+    bandwidth = center * fraction
+    low, high = center - bandwidth / 2.0, center + bandwidth / 2.0
+    freqs = jnp.linspace(0.0, cfg.sample_rate / 2.0, n_freqs)[None, :]
+    # Smooth notch edges over ~5% of the bandwidth.
+    edge = jnp.maximum(bandwidth * 0.05, 10.0)
+    stop = jax.nn.sigmoid((freqs - low) / edge) * jax.nn.sigmoid((high - freqs) / edge)
+    response = 1.0 - stop
+    spectrum = jnp.fft.rfft(audio, axis=-1)
+    return jnp.fft.irfft(spectrum * response, n=t, axis=-1)
+
+
+def _colored_noise(key: jax.Array, audio: jax.Array, cfg: AugmentConfig) -> jax.Array:
+    """Add frequency-shaped noise at a random SNR (AddColoredNoise equivalent)."""
+    b, t = audio.shape
+    n_freqs = t // 2 + 1
+    k_noise, k_snr, k_decay = jax.random.split(key, 3)
+    white = jax.random.normal(k_noise, (b, t))
+    decay = jax.random.uniform(
+        k_decay, (b, 1),
+        minval=cfg.colored_noise_min_f_decay, maxval=cfg.colored_noise_max_f_decay,
+    )
+    freqs = jnp.linspace(0.0, cfg.sample_rate / 2.0, n_freqs)[None, :]
+    shaping = jnp.where(freqs > 0, jnp.maximum(freqs, 1.0) ** (-decay / 2.0), 0.0)
+    spectrum = jnp.fft.rfft(white, axis=-1) * shaping
+    noise = jnp.fft.irfft(spectrum, n=t, axis=-1)
+
+    snr_db = jax.random.uniform(
+        k_snr, (b, 1),
+        minval=cfg.colored_noise_min_snr_db, maxval=cfg.colored_noise_max_snr_db,
+    )
+    target_noise_rms = _rms(audio) / _db_to_amp(snr_db)
+    noise = noise * target_noise_rms / (_rms(noise) + 1e-9)
+    return audio + noise
+
+
+def _background_noise(
+    key: jax.Array, audio: jax.Array, noise: jax.Array, cfg: AugmentConfig
+) -> jax.Array:
+    """Mix background clips at random SNR (torchaudio add_noise semantics)."""
+    b, _ = audio.shape
+    snr_db = jax.random.uniform(
+        key, (b, 1),
+        minval=cfg.background_noise_min_snr_db, maxval=cfg.background_noise_max_snr_db,
+    )
+    target_noise_rms = _rms(audio) / _db_to_amp(snr_db)
+    scaled = noise * target_noise_rms / (_rms(noise) + 1e-9)
+    return audio + scaled
+
+
+def _gain(key: jax.Array, audio: jax.Array, cfg: AugmentConfig) -> jax.Array:
+    b, _ = audio.shape
+    gain_db = jax.random.uniform(key, (b, 1), minval=cfg.gain_min_db, maxval=cfg.gain_max_db)
+    return audio * _db_to_amp(gain_db)
+
+
+def _reverb(audio: jax.Array, impulse: jax.Array) -> jax.Array:
+    """
+    Full FFT convolution with an impulse response, truncated to the clip length
+    and RMS-restored (speechbrain reverberate equivalent).
+    """
+    b, t = audio.shape
+    ir_len = impulse.shape[-1]
+    fft_len = 1
+    while fft_len < t + ir_len - 1:
+        fft_len *= 2
+    # Normalize IR peak so the direct path dominates.
+    peak = jnp.max(jnp.abs(impulse), axis=-1, keepdims=True) + 1e-9
+    impulse = impulse / peak
+    spec_a = jnp.fft.rfft(audio, n=fft_len, axis=-1)
+    spec_i = jnp.fft.rfft(impulse, n=fft_len, axis=-1)
+    wet = jnp.fft.irfft(spec_a * spec_i, n=fft_len, axis=-1)[:, :t]
+    return wet * _rms(audio) / (_rms(wet) + 1e-9)
+
+
+def _maybe(
+    key: jax.Array,
+    prob: float,
+    transformed: jax.Array,
+    original: jax.Array,
+    per_clip: bool = True,
+) -> jax.Array:
+    """Apply with probability ``prob`` — per clip or per batch."""
+    if prob <= 0.0:
+        return original
+    if prob >= 1.0:
+        return transformed
+    if per_clip:
+        apply = jax.random.bernoulli(key, prob, (original.shape[0], 1))
+    else:
+        apply = jax.random.bernoulli(key, prob, ())
+    return jnp.where(apply, transformed, original)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def augment_batch(
+    key: jax.Array,
+    audio: jax.Array,
+    lengths: jax.Array,
+    noise: jax.Array,
+    impulse: jax.Array,
+    config: AugmentConfig = AugmentConfig(),
+) -> jax.Array:
+    """
+    Full augmentation pipeline over one batch.
+
+    Args:
+        key: PRNG key.
+        audio: (b, target_samples) float32 in [-1, 1], left-aligned, zero-padded.
+        lengths: (b,) int32 true lengths for random placement.
+        noise: (b, target_samples) background noise clips (zeros disable mixing).
+        impulse: (b, ir_len) impulse responses (zeros disable reverb).
+
+    Returns (b, target_samples) float32 augmented audio, clipped to [-1, 1].
+    Stage order mirrors reference execute_augment_batch (augmented.py:297-394):
+    per-clip EQ/distortion -> batched pitch/band-stop/colored-noise/gain ->
+    random placement -> background noise -> reverb.
+    """
+    keys = jax.random.split(key, 12)
+    cfg = config
+
+    x = _maybe(keys[0], cfg.seven_band_prob, _seven_band_eq(keys[1], audio, cfg), audio)
+    x = _maybe(keys[2], cfg.tanh_distortion_prob, _tanh_distortion(keys[3], x, cfg), x)
+    x = _maybe(
+        keys[4], cfg.pitch_shift_prob, _pitch_shift(keys[5], x, cfg), x, per_clip=False
+    )
+    x = _maybe(keys[6], cfg.band_stop_prob, _band_stop(keys[7], x, cfg), x)
+    x = _maybe(keys[8], cfg.colored_noise_prob, _colored_noise(keys[9], x, cfg), x)
+    x = _maybe(keys[10], cfg.gain_prob, _gain(keys[11], x, cfg), x)
+
+    k_pad, k_bg, k_bgp, k_rvp = jax.random.split(jax.random.fold_in(key, 1), 4)
+    x = random_center_pad(k_pad, x, lengths, cfg.target_samples)
+
+    has_noise = jnp.any(jnp.abs(noise) > 0)
+    bg = _background_noise(k_bg, x, noise, cfg)
+    x = jnp.where(has_noise, _maybe(k_bgp, cfg.background_noise_prob, bg, x), x)
+
+    has_ir = jnp.any(jnp.abs(impulse) > 0)
+    wet = _reverb(x, impulse)
+    x = jnp.where(has_ir, _maybe(k_rvp, cfg.reverb_prob, wet, x), x)
+
+    return jnp.clip(x, -1.0, 1.0)

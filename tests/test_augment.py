@@ -1,0 +1,108 @@
+"""On-device augmentation chain: statistical and structural checks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from heybuddy_tpu.constants import CLIP_SAMPLES
+from heybuddy_tpu.ops.augment import AugmentConfig, augment_batch, random_center_pad
+from heybuddy_tpu.ops import augment as aug
+
+
+def make_batch(b=4, length=16000, seed=0):
+    rng = np.random.default_rng(seed)
+    audio = np.zeros((b, CLIP_SAMPLES), dtype=np.float32)
+    tone = 0.3 * np.sin(2 * np.pi * 440 * np.arange(length) / 16000).astype(np.float32)
+    audio[:, :length] = tone
+    lengths = np.full((b,), length, dtype=np.int32)
+    return jnp.asarray(audio), jnp.asarray(lengths)
+
+
+def test_augment_batch_shapes_and_range():
+    audio, lengths = make_batch()
+    noise = jnp.asarray(np.random.default_rng(1).normal(0, 0.05, audio.shape).astype(np.float32))
+    impulse = jnp.zeros((audio.shape[0], 4000), dtype=jnp.float32).at[:, 0].set(1.0)
+    out = augment_batch(jax.random.PRNGKey(0), audio, lengths, noise, impulse)
+    out = np.asarray(out)
+    assert out.shape == audio.shape
+    assert np.abs(out).max() <= 1.0
+    assert np.isfinite(out).all()
+
+
+def test_augment_deterministic_per_key():
+    audio, lengths = make_batch()
+    noise = jnp.zeros_like(audio)
+    impulse = jnp.zeros((audio.shape[0], 1024), dtype=jnp.float32)
+    a = np.asarray(augment_batch(jax.random.PRNGKey(7), audio, lengths, noise, impulse))
+    b = np.asarray(augment_batch(jax.random.PRNGKey(7), audio, lengths, noise, impulse))
+    np.testing.assert_array_equal(a, b)
+    c = np.asarray(augment_batch(jax.random.PRNGKey(8), audio, lengths, noise, impulse))
+    assert not np.allclose(a, c)
+
+
+def test_probability_zero_is_identity_up_to_padding():
+    audio, lengths = make_batch(length=CLIP_SAMPLES)  # full length: no padding freedom
+    cfg = AugmentConfig(
+        seven_band_prob=0.0, tanh_distortion_prob=0.0, pitch_shift_prob=0.0,
+        band_stop_prob=0.0, colored_noise_prob=0.0, background_noise_prob=0.0,
+        gain_prob=0.0, reverb_prob=0.0,
+    )
+    noise = jnp.zeros_like(audio)
+    impulse = jnp.zeros((audio.shape[0], 512), dtype=jnp.float32)
+    out = np.asarray(augment_batch(jax.random.PRNGKey(0), audio, lengths, noise, impulse, cfg))
+    np.testing.assert_allclose(out, np.asarray(audio), atol=1e-6)
+
+
+def test_random_center_pad_preserves_content():
+    audio, lengths = make_batch(length=8000)
+    out = np.asarray(random_center_pad(jax.random.PRNGKey(3), audio, lengths))
+    src = np.asarray(audio)
+    for i in range(out.shape[0]):
+        # energy preserved, just relocated
+        np.testing.assert_allclose(np.sum(out[i] ** 2), np.sum(src[i] ** 2), rtol=1e-4)
+
+
+def test_background_noise_hits_target_snr():
+    audio, _ = make_batch(length=CLIP_SAMPLES)
+    noise = jnp.asarray(
+        np.random.default_rng(2).normal(0, 1.0, audio.shape).astype(np.float32)
+    )
+    cfg = AugmentConfig(background_noise_min_snr_db=10.0, background_noise_max_snr_db=10.0)
+    mixed = np.asarray(aug._background_noise(jax.random.PRNGKey(0), audio, noise, cfg))
+    added = mixed - np.asarray(audio)
+    snr = 10 * np.log10(np.mean(np.asarray(audio) ** 2) / np.mean(added**2))
+    assert abs(snr - 10.0) < 0.5
+
+
+def test_gain_range():
+    audio, _ = make_batch(length=CLIP_SAMPLES)
+    cfg = AugmentConfig(gain_min_db=-6.0, gain_max_db=-6.0)
+    out = np.asarray(aug._gain(jax.random.PRNGKey(0), audio, cfg))
+    ratio = np.sqrt(np.mean(out**2) / np.mean(np.asarray(audio) ** 2))
+    np.testing.assert_allclose(ratio, 10 ** (-6 / 20), rtol=1e-3)
+
+
+def test_band_stop_attenuates_target_band():
+    # 1 kHz tone, notch centered on it should reduce energy substantially.
+    t = CLIP_SAMPLES
+    tone = 0.5 * np.sin(2 * np.pi * 1000 * np.arange(t) / 16000).astype(np.float32)
+    audio = jnp.asarray(tone[None])
+    # Force a notch exactly at 1 kHz by monkeypatched uniform? Instead run many
+    # keys and verify at least one attenuates the tone heavily.
+    attenuations = []
+    for seed in range(8):
+        out = np.asarray(aug._band_stop(jax.random.PRNGKey(seed), audio, AugmentConfig()))[0]
+        attenuations.append(np.sum(out**2) / np.sum(tone**2))
+    assert min(attenuations) < 0.5
+
+
+def test_reverb_smears_energy():
+    t = CLIP_SAMPLES
+    click = np.zeros((1, t), dtype=np.float32)
+    click[0, 1000] = 1.0
+    ir = np.zeros((1, 2048), dtype=np.float32)
+    ir[0, 0] = 1.0
+    ir[0, 500] = 0.5
+    out = np.asarray(aug._reverb(jnp.asarray(click), jnp.asarray(ir)))[0]
+    assert abs(out[1500]) > 0.1  # echo present
