@@ -1,0 +1,522 @@
+"""
+The ``heybuddy`` command-line interface.
+
+Surface parity with reference ``__main__.py``: ``heybuddy {extract, combine,
+train, predict, listen, convert}`` with the same argument/option names for the
+core workflow. Implementation is TPU-native throughout (jitted featurization,
+device augmentation, mesh-sharded training).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+import time
+from typing import Any, List, Optional, Tuple
+
+import click
+import numpy as np
+
+from heybuddy_tpu.constants import *  # noqa: F401,F403
+from heybuddy_tpu.utils.log import debug_logger, logger
+
+from heybuddy_tpu.constants import (
+    DEFAULT_ACTIVATION_THRESHOLD,
+    DEFAULT_ADVERSARIAL_BATCH_SIZE,
+    DEFAULT_ADVERSARIAL_PHRASES,
+    DEFAULT_ADVERSARIAL_SAMPLES,
+    DEFAULT_ARCHITECTURE,
+    DEFAULT_AUGMENT_BACKGROUND_NOISE_MAX_SNR_DB,
+    DEFAULT_AUGMENT_BACKGROUND_NOISE_MIN_SNR_DB,
+    DEFAULT_AUGMENT_BACKGROUND_NOISE_PROB,
+    DEFAULT_AUGMENT_BAND_STOP_PROB,
+    DEFAULT_AUGMENT_COLORED_NOISE_MAX_F_DECAY,
+    DEFAULT_AUGMENT_COLORED_NOISE_MAX_SNR_DB,
+    DEFAULT_AUGMENT_COLORED_NOISE_MIN_F_DECAY,
+    DEFAULT_AUGMENT_COLORED_NOISE_MIN_SNR_DB,
+    DEFAULT_AUGMENT_COLORED_NOISE_PROB,
+    DEFAULT_AUGMENT_GAIN_PROB,
+    DEFAULT_AUGMENT_PHRASE_PROB,
+    DEFAULT_AUGMENT_PITCH_SHIFT_PROB,
+    DEFAULT_AUGMENT_PITCH_SHIFT_SEMITONES,
+    DEFAULT_AUGMENT_REVERB_PROB,
+    DEFAULT_AUGMENT_SEVEN_BAND_GAIN_DB,
+    DEFAULT_AUGMENT_SEVEN_BAND_PROB,
+    DEFAULT_AUGMENT_TANH_DISTORTION_PROB,
+    DEFAULT_AUGMENT_TANH_MAX_DISTORTION,
+    DEFAULT_AUGMENT_TANH_MIN_DISTORTION,
+    DEFAULT_BATCH_THREADS,
+    DEFAULT_CHECKPOINT_STEPS,
+    DEFAULT_HEADS,
+    DEFAULT_HIGH_LOSS_THRESHOLD,
+    DEFAULT_LAYER_DIM,
+    DEFAULT_LAYERS,
+    DEFAULT_LEARNING_RATE,
+    DEFAULT_LISTEN_BUFFER_SIZE,
+    DEFAULT_LOGGING_STEPS,
+    DEFAULT_NEGATIVE_BATCH_SIZE,
+    DEFAULT_NEGATIVE_WEIGHT,
+    DEFAULT_POSITIVE_BATCH_SIZE,
+    DEFAULT_POSITIVE_SAMPLES,
+    DEFAULT_STAGES,
+    DEFAULT_STEPS,
+    DEFAULT_TARGET_FALSE_POSITIVE_RATE,
+    DEFAULT_TESTING_ADVERSARIAL_SAMPLES,
+    DEFAULT_TESTING_POSITIVE_SAMPLES,
+    DEFAULT_USE_GATING,
+    DEFAULT_USE_HALF_LAYERS,
+    DEFAULT_VALIDATION_NEGATIVE_BATCH_SIZE,
+    DEFAULT_VALIDATION_POSITIVE_BATCH_SIZE,
+    DEFAULT_VALIDATION_SAMPLES,
+    DEFAULT_VALIDATION_STEPS,
+    SAMPLE_RATE,
+)
+
+
+@click.group(name="heybuddy")
+def main() -> None:
+    """heybuddy-tpu: TPU-native wake-word training and deployment."""
+
+
+# --------------------------------------------------------------------- extract
+
+
+@main.command()
+@click.argument("name", type=str, nargs=1)
+@click.argument("repo_id", type=str, nargs=1)
+@click.option("--directory", default=None, help="Directory to save the embeddings to.")
+@click.option("--config", type=str, default=None, help="Dataset configuration name.")
+@click.option("--split", type=str, default="train", show_default=True)
+@click.option("--audio-key", type=str, default="audio", show_default=True)
+@click.option("--audio-array-key", type=str, default="array", show_default=True)
+@click.option("--audio-sample-rate-key", type=str, default="sampling_rate", show_default=True)
+@click.option("--transcript-key", type=str, default="transcript", show_default=True)
+@click.option("--streaming/--no-streaming", default=True, is_flag=True, show_default=True)
+@click.option("--trust-remote-code/--no-trust-remote-code", default=False, is_flag=True)
+@click.option("--hours", type=float, default=1000.0, show_default=True)
+@click.option("--samples-per-file", type=int, default=10000, show_default=True)
+@click.option("--process-batch-size", default=100, show_default=True)
+@click.option("--tokenizer-max-length", default=96, show_default=True)
+@click.option("--local-files", is_flag=True, default=False,
+              help="Treat REPO_ID as a glob of local wav files instead of a HF dataset.")
+@click.option("--debug/--no-debug", default=False, is_flag=True)
+def extract(
+    name: str,
+    repo_id: str,
+    directory: Optional[str],
+    config: Optional[str],
+    split: str,
+    audio_key: str,
+    audio_array_key: str,
+    audio_sample_rate_key: str,
+    transcript_key: str,
+    streaming: bool,
+    trust_remote_code: bool,
+    hours: float,
+    samples_per_file: int,
+    process_batch_size: int,
+    tokenizer_max_length: int,
+    local_files: bool,
+    debug: bool,
+) -> None:
+    """Extract labeled negative-feature shards from an audio dataset."""
+    from heybuddy_tpu.data.extract import LabeledFeatureExtractor, iter_hf_dataset, iter_wav_files
+    from heybuddy_tpu.data.precalculated import get_default_dataset_dir
+
+    with _debug(debug):
+        extractor = LabeledFeatureExtractor(
+            directory=directory or get_default_dataset_dir(),
+            name=name,
+            samples_per_file=samples_per_file,
+            process_batch_size=process_batch_size,
+            tokenizer_max_length=tokenizer_max_length,
+        )
+        if local_files:
+            source = iter_wav_files(sorted(glob.glob(repo_id)))
+        else:
+            source = iter_hf_dataset(
+                repo_id,
+                config=config,
+                split=split,
+                streaming=streaming,
+                audio_key=audio_key,
+                audio_array_key=audio_array_key,
+                audio_sample_rate_key=audio_sample_rate_key,
+                transcript_key=transcript_key,
+                trust_remote_code=trust_remote_code,
+            )
+        paths = extractor(source, max_hours=hours)
+        click.echo(f"Wrote {len(paths)} shard(s):")
+        for path in paths:
+            click.echo(f"  {path}")
+
+
+# --------------------------------------------------------------------- combine
+
+
+@main.command()
+@click.argument("source", type=str, nargs=-1)
+@click.argument("target", type=str, nargs=1)
+@click.option("--directory", default=None, help="Directory containing the shards.")
+@click.option("--reset/--no-reset", default=True, is_flag=True)
+@click.option("--half/--no-half", default=False, is_flag=True, show_default=True)
+@click.option("--delete/--no-delete", default=False, is_flag=True)
+@click.option("--batch-size", default=10000, show_default=True,
+              help="Rows copied per append.")
+@click.option("--debug/--no-debug", default=False, is_flag=True)
+def combine(
+    source: Tuple[str, ...],
+    target: str,
+    directory: Optional[str],
+    reset: bool,
+    half: bool,
+    delete: bool,
+    batch_size: int,
+    debug: bool,
+) -> None:
+    """Merge feature shards into one appendable .npy (reference __main__.py:121-169)."""
+    from heybuddy_tpu.data.precalculated import get_default_dataset_dir
+    from heybuddy_tpu.utils.npy import AppendableNpyFile
+
+    with _debug(debug):
+        directory = directory or get_default_dataset_dir()
+        target_path = target if target.endswith(".npy") else os.path.join(directory, f"{target}.npy")
+        if reset and os.path.exists(target_path):
+            os.remove(target_path)
+        store = AppendableNpyFile(target_path)
+        sources: List[str] = []
+        for pattern in source:
+            if os.path.exists(pattern):
+                sources.append(pattern)
+            else:
+                sources.extend(sorted(glob.glob(pattern)))
+                sources.extend(sorted(glob.glob(os.path.join(directory, pattern))))
+        if not sources:
+            raise click.ClickException("No source shards found")
+        total = 0
+        for path in sources:
+            shard = np.load(path, mmap_mode="r")
+            for start in range(0, shard.shape[0], batch_size):
+                rows = np.asarray(shard[start : start + batch_size])
+                if half:
+                    rows = rows.astype(np.float16)
+                store.append(rows)
+                total += rows.shape[0]
+            if delete:
+                os.remove(path)
+        click.echo(f"Combined {total} rows from {len(sources)} shard(s) into {target_path}")
+
+
+# ----------------------------------------------------------------------- train
+
+
+@main.command()
+@click.argument("phrase", type=str, nargs=1)
+@click.option("--additional-phrase", type=str, default=None, multiple=True)
+@click.option("--wandb-entity", type=str, default=None)
+@click.option("--perceptron", "architecture", flag_value="perceptron",
+              default=True)
+@click.option("--transformer", "architecture", flag_value="transformer")
+@click.option("--use-half-layers/--no-use-half-layers", default=DEFAULT_USE_HALF_LAYERS, is_flag=True)
+@click.option("--use-gating/--no-use-gating", default=DEFAULT_USE_GATING, is_flag=True)
+@click.option("--layer-dim", type=int, default=DEFAULT_LAYER_DIM, show_default=True)
+@click.option("--num-layers", type=int, default=DEFAULT_LAYERS, show_default=True)
+@click.option("--num-heads", type=int, default=DEFAULT_HEADS, show_default=True)
+@click.option("--steps", type=int, default=DEFAULT_STEPS, show_default=True)
+@click.option("--stages", type=int, default=DEFAULT_STAGES, show_default=True)
+@click.option("--threshold", type=float, default=DEFAULT_ACTIVATION_THRESHOLD, show_default=True)
+@click.option("--learning-rate", type=float, default=DEFAULT_LEARNING_RATE, show_default=True)
+@click.option("--high-loss-threshold", type=float, default=DEFAULT_HIGH_LOSS_THRESHOLD, show_default=True)
+@click.option("--target-false-positive-rate", type=float,
+              default=DEFAULT_TARGET_FALSE_POSITIVE_RATE, show_default=True)
+@click.option("--dynamic-negative-weight/--no-dynamic-negative-weight", default=True, is_flag=True)
+@click.option("--negative-weight", type=float, default=DEFAULT_NEGATIVE_WEIGHT, show_default=True)
+@click.option("--training-large-default-dataset", "training_default_size", flag_value="large")
+@click.option("--training-medium-default-dataset", "training_default_size", flag_value="medium",
+              default=True)
+@click.option("--training-no-default-dataset", "training_default_size", flag_value="none")
+@click.option("--training-dataset", type=click.Path(exists=True, dir_okay=False), default=None)
+@click.option("--augment-phrase-prob", type=float, default=DEFAULT_AUGMENT_PHRASE_PROB)
+@click.option("--augmentation-seven-band-prob", type=float, default=DEFAULT_AUGMENT_SEVEN_BAND_PROB)
+@click.option("--augmentation-seven-band-gain-db", type=float, default=DEFAULT_AUGMENT_SEVEN_BAND_GAIN_DB)
+@click.option("--augmentation-tanh-distortion-prob", type=float, default=DEFAULT_AUGMENT_TANH_DISTORTION_PROB)
+@click.option("--augmentation-tanh-distortion-min", type=float, default=DEFAULT_AUGMENT_TANH_MIN_DISTORTION)
+@click.option("--augmentation-tanh-distortion-max", type=float, default=DEFAULT_AUGMENT_TANH_MAX_DISTORTION)
+@click.option("--augmentation-pitch-shift-prob", type=float, default=DEFAULT_AUGMENT_PITCH_SHIFT_PROB)
+@click.option("--augmentation-pitch-shift-semitones", type=int, default=DEFAULT_AUGMENT_PITCH_SHIFT_SEMITONES)
+@click.option("--augmentation-band-stop-prob", type=float, default=DEFAULT_AUGMENT_BAND_STOP_PROB)
+@click.option("--augmentation-colored-noise-prob", type=float, default=DEFAULT_AUGMENT_COLORED_NOISE_PROB)
+@click.option("--augmentation-colored-noise-min-snr-db", type=float, default=DEFAULT_AUGMENT_COLORED_NOISE_MIN_SNR_DB)
+@click.option("--augmentation-colored-noise-max-snr-db", type=float, default=DEFAULT_AUGMENT_COLORED_NOISE_MAX_SNR_DB)
+@click.option("--augmentation-colored-noise-min-f-decay", type=float, default=DEFAULT_AUGMENT_COLORED_NOISE_MIN_F_DECAY)
+@click.option("--augmentation-colored-noise-max-f-decay", type=float, default=DEFAULT_AUGMENT_COLORED_NOISE_MAX_F_DECAY)
+@click.option("--augmentation-background-noise-prob", type=float, default=DEFAULT_AUGMENT_BACKGROUND_NOISE_PROB)
+@click.option("--augmentation-background-noise-min-snr-db", type=float, default=DEFAULT_AUGMENT_BACKGROUND_NOISE_MIN_SNR_DB)
+@click.option("--augmentation-background-noise-max-snr-db", type=float, default=DEFAULT_AUGMENT_BACKGROUND_NOISE_MAX_SNR_DB)
+@click.option("--augmentation-gain-prob", type=float, default=DEFAULT_AUGMENT_GAIN_PROB)
+@click.option("--augmentation-reverb-prob", type=float, default=DEFAULT_AUGMENT_REVERB_PROB)
+@click.option("--logging-steps", type=int, default=DEFAULT_LOGGING_STEPS)
+@click.option("--validation-steps", type=int, default=DEFAULT_VALIDATION_STEPS)
+@click.option("--checkpoint-steps", type=int, default=DEFAULT_CHECKPOINT_STEPS)
+@click.option("--positive-samples", type=int, default=DEFAULT_POSITIVE_SAMPLES)
+@click.option("--adversarial-samples", type=int, default=DEFAULT_ADVERSARIAL_SAMPLES)
+@click.option("--adversarial-phrases", type=int, default=DEFAULT_ADVERSARIAL_PHRASES)
+@click.option("--adversarial-phrase-custom", type=str, default=None, multiple=True)
+@click.option("--positive-batch-size", type=int, default=DEFAULT_POSITIVE_BATCH_SIZE)
+@click.option("--negative-batch-size", type=int, default=DEFAULT_NEGATIVE_BATCH_SIZE)
+@click.option("--adversarial-batch-size", type=int, default=DEFAULT_ADVERSARIAL_BATCH_SIZE)
+@click.option("--num-batch-threads", type=int, default=DEFAULT_BATCH_THREADS)
+@click.option("--validation-positive-batch-size", type=int, default=DEFAULT_VALIDATION_POSITIVE_BATCH_SIZE)
+@click.option("--validation-negative-batch-size", type=int, default=DEFAULT_VALIDATION_NEGATIVE_BATCH_SIZE)
+@click.option("--validation-samples", type=int, default=DEFAULT_VALIDATION_SAMPLES)
+@click.option("--testing-positive-samples", type=int, default=DEFAULT_TESTING_POSITIVE_SAMPLES)
+@click.option("--testing-adversarial-samples", type=int, default=DEFAULT_TESTING_ADVERSARIAL_SAMPLES)
+@click.option("--checkpoint-dir", type=str, default="./checkpoints", show_default=True)
+@click.option("--tts-backend", type=click.Choice(["vits", "formant"]), default=None,
+              help="TTS backend override (default: vits when a checkpoint is configured).")
+@click.option("--mesh/--no-mesh", "use_mesh", default=True, is_flag=True,
+              help="Shard training batches across all visible accelerator chips.")
+@click.option("--resume/--no-resume", default=False, is_flag=True)
+@click.option("--debug/--no-debug", default=False, is_flag=True)
+def train(phrase: str, **kwargs: Any) -> None:
+    """Train a wake-word model for PHRASE end-to-end."""
+    from heybuddy_tpu.data.precalculated import PrecalculatedDatasetIterator
+    from heybuddy_tpu.data.training import WakeWordTrainingDatasetIterator
+    from heybuddy_tpu.ops.augment import AugmentConfig
+    from heybuddy_tpu.training.trainer import WakeWordTrainer
+
+    debug = kwargs.pop("debug")
+    with _debug(debug):
+        augment_config = AugmentConfig(
+            seven_band_prob=kwargs.pop("augmentation_seven_band_prob"),
+            seven_band_gain_db=kwargs.pop("augmentation_seven_band_gain_db"),
+            tanh_distortion_prob=kwargs.pop("augmentation_tanh_distortion_prob"),
+            tanh_min_distortion=kwargs.pop("augmentation_tanh_distortion_min"),
+            tanh_max_distortion=kwargs.pop("augmentation_tanh_distortion_max"),
+            pitch_shift_prob=kwargs.pop("augmentation_pitch_shift_prob"),
+            pitch_shift_semitones=kwargs.pop("augmentation_pitch_shift_semitones"),
+            band_stop_prob=kwargs.pop("augmentation_band_stop_prob"),
+            colored_noise_prob=kwargs.pop("augmentation_colored_noise_prob"),
+            colored_noise_min_snr_db=kwargs.pop("augmentation_colored_noise_min_snr_db"),
+            colored_noise_max_snr_db=kwargs.pop("augmentation_colored_noise_max_snr_db"),
+            colored_noise_min_f_decay=kwargs.pop("augmentation_colored_noise_min_f_decay"),
+            colored_noise_max_f_decay=kwargs.pop("augmentation_colored_noise_max_f_decay"),
+            background_noise_prob=kwargs.pop("augmentation_background_noise_prob"),
+            background_noise_min_snr_db=kwargs.pop("augmentation_background_noise_min_snr_db"),
+            background_noise_max_snr_db=kwargs.pop("augmentation_background_noise_max_snr_db"),
+            gain_prob=kwargs.pop("augmentation_gain_prob"),
+            reverb_prob=kwargs.pop("augmentation_reverb_prob"),
+        )
+
+        phrases = [phrase] + list(kwargs.pop("additional_phrase") or [])
+        phrase_arg: Any = phrases if len(phrases) > 1 else phrase
+
+        feature_kwargs = dict(
+            augment_config=augment_config,
+            phrase_augment_prob=kwargs.pop("augment_phrase_prob"),
+            custom_adversarial_texts=list(kwargs.pop("adversarial_phrase_custom") or []) or None,
+            tts_backend=kwargs.pop("tts_backend"),
+        )
+
+        training_default_size = kwargs.pop("training_default_size") or "medium"
+        training_dataset_path = kwargs.pop("training_dataset")
+
+        training = WakeWordTrainingDatasetIterator.default(
+            phrase_arg,
+            positive_samples=kwargs.pop("positive_samples"),
+            adversarial_samples=kwargs.pop("adversarial_samples"),
+            adversarial_phrases=kwargs.pop("adversarial_phrases"),
+            positive_batch_size=kwargs.pop("positive_batch_size"),
+            adversarial_batch_size=kwargs.pop("adversarial_batch_size"),
+            negative_batch_size=(
+                0 if training_default_size == "none" and training_dataset_path is None
+                else kwargs.pop("negative_batch_size")
+            ),
+            num_batch_threads=kwargs.pop("num_batch_threads"),
+            large_negative_dataset=training_default_size in ("large", "full"),
+            **feature_kwargs,
+        )
+        if training_dataset_path is not None:
+            custom = PrecalculatedDatasetIterator(
+                os.path.splitext(os.path.basename(training_dataset_path))[0],
+                directory=os.path.dirname(os.path.abspath(training_dataset_path)),
+                labeled=np.load(training_dataset_path, mmap_mode="r").shape[1] == 17,
+                exclude_phrase=phrase,
+            )
+            training.negative.append((custom, DEFAULT_NEGATIVE_BATCH_SIZE))
+
+        validation_samples = kwargs.pop("validation_samples")
+        validation = None
+        if validation_samples > 0:
+            validation = WakeWordTrainingDatasetIterator.validation(
+                phrase_arg,
+                validation_samples=validation_samples,
+                positive_batch_size=kwargs.pop("validation_positive_batch_size"),
+                negative_batch_size=kwargs.pop("validation_negative_batch_size"),
+                **feature_kwargs,
+            )
+        else:
+            kwargs.pop("validation_positive_batch_size")
+            kwargs.pop("validation_negative_batch_size")
+
+        testing_positive = kwargs.pop("testing_positive_samples")
+        testing_adversarial = kwargs.pop("testing_adversarial_samples")
+        testing = None
+        if testing_positive > 0 or testing_adversarial > 0:
+            testing = WakeWordTrainingDatasetIterator.testing(
+                phrase_arg,
+                positive_samples=testing_positive,
+                adversarial_samples=testing_adversarial,
+                **feature_kwargs,
+            )
+
+        mesh = None
+        if kwargs.pop("use_mesh"):
+            import jax
+
+            if jax.device_count() > 1:
+                from heybuddy_tpu.parallel.mesh import get_mesh
+
+                mesh = get_mesh()
+                logger.info(f"Training over mesh: {mesh}")
+
+        trainer = WakeWordTrainer(
+            checkpoint_dir=kwargs.pop("checkpoint_dir"),
+            learning_rate=kwargs["learning_rate"],
+            architecture=kwargs.pop("architecture"),
+            layer_dim=kwargs.pop("layer_dim"),
+            num_layers=kwargs.pop("num_layers"),
+            num_heads=kwargs.pop("num_heads"),
+            use_gating=kwargs.pop("use_gating"),
+            use_half_layers=kwargs.pop("use_half_layers"),
+            mesh=mesh,
+        )
+        name = "-".join(phrase.split())
+        if kwargs.pop("resume"):
+            trainer.resume(name)
+
+        trainer(
+            training,
+            validation=validation,
+            testing=testing,
+            num_steps=kwargs.pop("steps"),
+            num_stages=kwargs.pop("stages"),
+            max_negative_weight=kwargs.pop("negative_weight"),
+            logging_steps=kwargs.pop("logging_steps"),
+            validation_steps=kwargs.pop("validation_steps"),
+            checkpoint_steps=kwargs.pop("checkpoint_steps"),
+            target_false_positive_rate=kwargs.pop("target_false_positive_rate"),
+            dynamic_negative_weight=kwargs.pop("dynamic_negative_weight"),
+            learning_rate=kwargs.pop("learning_rate"),
+            high_loss_threshold=kwargs.pop("high_loss_threshold"),
+            activation_threshold=kwargs.pop("threshold"),
+            wandb_entity=kwargs.pop("wandb_entity"),
+            name=name,
+        )
+        click.echo(f"Training complete; final checkpoint: {trainer.checkpoint_dir}/{name}_final.npz")
+
+
+# --------------------------------------------------------------------- predict
+
+
+@main.command()
+@click.argument("checkpoint", type=click.Path(exists=True, dir_okay=False), nargs=1)
+@click.argument("audio", type=click.Path(exists=True, dir_okay=False), nargs=1)
+@click.option("--threshold", type=float, default=DEFAULT_ACTIVATION_THRESHOLD, show_default=True)
+@click.option("--debug/--no-debug", default=False, is_flag=True)
+def predict(checkpoint: str, audio: str, threshold: float, debug: bool) -> None:
+    """Print wake-word timecodes found in AUDIO (reference __main__.py:431-464)."""
+    with _debug(debug):
+        model = _load_any_model(checkpoint)
+        times = model.predict_timecodes(audio, threshold=threshold)
+        if not times:
+            click.echo("No wake words detected.")
+        else:
+            for t in times:
+                click.echo(f"Wake word detected at {t:.1f}s")
+
+
+# ---------------------------------------------------------------------- listen
+
+
+@main.command()
+@click.argument("checkpoints", type=click.Path(exists=True, dir_okay=False), nargs=-1)
+@click.option("--threshold", type=float, default=DEFAULT_ACTIVATION_THRESHOLD, show_default=True)
+@click.option("--buffer-size", type=int, default=DEFAULT_LISTEN_BUFFER_SIZE, show_default=True)
+@click.option("--input-wav", type=click.Path(exists=True, dir_okay=False), default=None,
+              help="Stream a wav file instead of the microphone (for testing).")
+@click.option("--debug/--no-debug", default=False, is_flag=True)
+def listen(
+    checkpoints: Tuple[str, ...],
+    threshold: float,
+    buffer_size: int,
+    input_wav: Optional[str],
+    debug: bool,
+) -> None:
+    """Listen on the microphone and print live wake-word scores."""
+    from heybuddy_tpu.runtime.listen import run_listen
+
+    with _debug(debug):
+        if not checkpoints:
+            raise click.ClickException("Provide at least one checkpoint")
+        run_listen(
+            list(checkpoints),
+            threshold=threshold,
+            buffer_size=buffer_size,
+            input_wav=input_wav,
+        )
+
+
+# --------------------------------------------------------------------- convert
+
+
+@main.command()
+@click.argument("checkpoint", type=click.Path(exists=True, dir_okay=False), nargs=1)
+@click.argument("output", type=click.Path(dir_okay=False), required=False, default=None)
+@click.option("--opset-version", type=int, default=19, show_default=True)
+@click.option("--debug/--no-debug", default=False, is_flag=True)
+def convert(checkpoint: str, output: Optional[str], opset_version: int, debug: bool) -> None:
+    """Convert a checkpoint to ONNX for the browser runtime (reference :599-625)."""
+    with _debug(debug):
+        model = _load_any_model(checkpoint)
+        if output is None:
+            output = os.path.splitext(checkpoint)[0] + ".onnx"
+        model.save_onnx(output, opset_version=opset_version)
+        click.echo(f"Wrote {output}")
+
+
+# ----------------------------------------------------------------------- utils
+
+
+def _load_any_model(path: str) -> Any:
+    """Load npz (native), .pt (reference torch), or .onnx checkpoints."""
+    from heybuddy_tpu.models.wakeword import WakeWordMLPModel, load_model
+
+    if path.endswith(".pt"):
+        return WakeWordMLPModel.from_torch_file(path)
+    if path.endswith(".onnx"):
+        from heybuddy_tpu.runtime.onnx_model import WakeWordONNXModel
+
+        return WakeWordONNXModel(path)
+    return load_model(path)
+
+
+class _debug:
+    def __init__(self, enabled: bool) -> None:
+        self.enabled = enabled
+        self._ctx = None
+
+    def __enter__(self) -> None:
+        if self.enabled:
+            self._ctx = debug_logger()
+            self._ctx.__enter__()
+
+    def __exit__(self, *exc: Any) -> None:
+        if self._ctx is not None:
+            self._ctx.__exit__(*exc)
+
+
+if __name__ == "__main__":
+    main()

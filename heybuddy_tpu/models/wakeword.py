@@ -174,6 +174,7 @@ class WakeWordInferenceMixin:
     """Audio-level prediction helpers (reference wakeword.py:36-169)."""
 
     def _predict_scores(self, audio: Any, min_frames: int = CLIP_SAMPLES) -> np.ndarray:
+        from heybuddy_tpu.constants import FEATURE_FRAMES
         from heybuddy_tpu.models.featurizer import get_speech_embeddings
         from heybuddy_tpu.utils.audio_io import audio_to_bct_array
 
@@ -183,7 +184,21 @@ class WakeWordInferenceMixin:
             pad = min_frames - t
             left = pad // 2
             audio_arr = np.pad(audio_arr, ((0, 0), (0, 0), (left, pad - left)))
-        embeddings = get_speech_embeddings()(audio_arr)
+        embeddings = get_speech_embeddings()(audio_arr)  # (n, frames, 96)
+
+        frames = embeddings.shape[1]
+        if frames > FEATURE_FRAMES:
+            # Longer clips: slide the classifier's 16-frame context over the
+            # embedding sequence and take the max score — the same semantics
+            # as the browser runtime's sliding 16-embedding buffer
+            # (reference src/ts/src/hey-buddy.ts:404-413).
+            k = frames - FEATURE_FRAMES + 1
+            windows = np.stack(
+                [embeddings[:, i : i + FEATURE_FRAMES] for i in range(k)], axis=1
+            )  # (n, k, 16, 96)
+            flat_scores = np.asarray(self(windows.reshape(n * k, FEATURE_FRAMES, -1)))
+            return flat_scores.reshape(n, k).max(axis=1)
+
         scores = np.asarray(self(embeddings))  # type: ignore[operator]
         return scores.reshape(-1)
 

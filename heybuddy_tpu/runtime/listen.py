@@ -1,0 +1,148 @@
+"""
+Real-time listening loop (reference __main__.py:466-597 ``heybuddy listen``).
+
+Feeds a rolling 2 s audio buffer from the microphone (pyaudio, when available)
+or from a wav file (``--input-wav``, also the CI path) to one
+WakeWordModelThread per checkpoint, rendering an ANSI score table with
+per-model latency.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from heybuddy_tpu.constants import SAMPLE_RATE
+from heybuddy_tpu.runtime.model_thread import WakeWordModelThread
+from heybuddy_tpu.utils.audio_io import read_wav, resample_audio
+from heybuddy_tpu.utils.log import logger
+
+__all__ = ["run_listen"]
+
+ROLLING_SAMPLES = 32000  # 2 s at 16 kHz, like the reference listener
+
+
+def _mic_chunks(buffer_size: int) -> Iterator[np.ndarray]:
+    try:
+        import pyaudio  # type: ignore[import-not-found]
+    except ImportError as ex:
+        raise RuntimeError(
+            "pyaudio is required for microphone listening; "
+            "use --input-wav to stream a file instead"
+        ) from ex
+    pa = pyaudio.PyAudio()
+    stream = pa.open(
+        format=pyaudio.paInt16,
+        channels=1,
+        rate=SAMPLE_RATE,
+        input=True,
+        frames_per_buffer=buffer_size,
+    )
+    try:
+        while True:
+            data = stream.read(buffer_size, exception_on_overflow=False)
+            yield np.frombuffer(data, dtype=np.int16).astype(np.float32) / 32768.0
+    finally:
+        stream.stop_stream()
+        stream.close()
+        pa.terminate()
+
+
+def _wav_chunks(path: str, buffer_size: int, realtime: bool = False) -> Iterator[np.ndarray]:
+    audio, rate = read_wav(path)
+    mono = audio.mean(axis=0)
+    if rate != SAMPLE_RATE:
+        mono = resample_audio(mono, rate, SAMPLE_RATE)
+    for start in range(0, len(mono), buffer_size):
+        chunk = mono[start : start + buffer_size]
+        if realtime:
+            time.sleep(len(chunk) / SAMPLE_RATE)
+        yield chunk
+
+
+def _use_serial_inference() -> bool:
+    """
+    Some remote-device backends (e.g. tunneled single-chip setups) only
+    support device compute from the main thread; evaluate models inline there.
+    """
+    if os.environ.get("HEYBUDDY_LISTEN_SERIAL") == "1":
+        return True
+    # Threaded inference is opt-in: device batching already makes one thread
+    # fast, and remote-tunneled backends crash on worker-thread compute.
+    return os.environ.get("HEYBUDDY_LISTEN_THREADS") != "1"
+
+
+class _SerialModel:
+    """Main-thread drop-in for WakeWordModelThread."""
+
+    def __init__(self, checkpoint_path: str, threshold: float = 0.5) -> None:
+        from heybuddy_tpu.cli import _load_any_model
+
+        self._model = _load_any_model(checkpoint_path)
+        self._pending: Optional[np.ndarray] = None
+        self.threshold = threshold
+
+    def put(self, audio: np.ndarray) -> None:
+        self._pending = audio
+
+    def get(self, timeout: Optional[float] = None) -> tuple:
+        start = time.perf_counter()
+        scores = self._model.predict(self._pending, return_scores=True)
+        return (float(scores[0]) if scores else 0.0, time.perf_counter() - start)
+
+    def stop(self) -> None:
+        pass
+
+
+def run_listen(
+    checkpoints: List[str],
+    threshold: float = 0.5,
+    buffer_size: int = 4096,
+    input_wav: Optional[str] = None,
+    max_chunks: Optional[int] = None,
+) -> List[str]:
+    """Run the listen loop; returns lines of detections (for testing)."""
+    if _use_serial_inference():
+        models: List = [_SerialModel(path, threshold=threshold) for path in checkpoints]
+    else:
+        models = [WakeWordModelThread(path, threshold=threshold) for path in checkpoints]
+    names = [os.path.splitext(os.path.basename(p))[0] for p in checkpoints]
+    rolling = np.zeros(ROLLING_SAMPLES, dtype=np.float32)
+    detections: List[str] = []
+    is_tty = sys.stdout.isatty()
+
+    chunks = _wav_chunks(input_wav, buffer_size) if input_wav else _mic_chunks(buffer_size)
+    try:
+        for i, chunk in enumerate(chunks):
+            if max_chunks is not None and i >= max_chunks:
+                break
+            rolling = np.roll(rolling, -len(chunk))
+            rolling[-len(chunk) :] = chunk
+            for model in models:
+                model.put(rolling.copy())
+            rows = []
+            for name, model in zip(names, models):
+                try:
+                    score, duration = model.get(timeout=10.0)
+                except Exception:
+                    score, duration = 0.0, 0.0
+                flag = "*" if score > threshold else " "
+                rows.append(f"{flag} {name:<30} {score:6.3f}  {duration * 1000:7.1f}ms")
+                if score > threshold:
+                    stamp = i * buffer_size / SAMPLE_RATE
+                    detections.append(f"{name} @ {stamp:.2f}s score={score:.3f}")
+            if is_tty:
+                sys.stdout.write("\x1b[2J\x1b[H" + "\n".join(rows) + "\n")
+                sys.stdout.flush()
+    except KeyboardInterrupt:
+        logger.info("Interrupted")
+    finally:
+        for model in models:
+            model.stop()
+    for line in detections:
+        print(line)
+    return detections

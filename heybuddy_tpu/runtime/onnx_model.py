@@ -1,0 +1,49 @@
+"""
+ONNX-backed wake-word model (reference wakeword.py:463-475 WakeWordONNXModel).
+
+Loads an exported ``.onnx`` head and exposes the same inference API as the
+native models (``__call__`` over (b, 16, 96) features, ``predict``,
+``predict_timecodes``). Runs on onnxruntime when installed, otherwise on the
+built-in numpy evaluator.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from heybuddy_tpu.models.wakeword import WakeWordInferenceMixin
+
+__all__ = ["WakeWordONNXModel"]
+
+
+class WakeWordONNXModel(WakeWordInferenceMixin):
+    def __init__(self, path: str) -> None:
+        self.path = path
+        self._session = None
+        self._runner = None
+        try:
+            import onnxruntime  # type: ignore[import-not-found]
+
+            self._session = onnxruntime.InferenceSession(
+                path, providers=["CPUExecutionProvider"]
+            )
+        except ImportError:
+            from heybuddy_tpu.export.onnx_numpy import OnnxRunner
+
+            self._runner = OnnxRunner.from_file(path)
+
+    def __call__(self, features: Any) -> np.ndarray:
+        features = np.asarray(features, dtype=np.float32)
+        if features.ndim == 2:
+            features = features[None]
+        outputs = []
+        # Exported graphs are fixed batch-1 (deployment contract); loop rows.
+        for row in features:
+            if self._session is not None:
+                out = self._session.run(None, {"input": row[None]})[0]
+            else:
+                out = self._runner(input=row[None])["output"]
+            outputs.append(out[0])
+        return np.stack(outputs)

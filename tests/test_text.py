@@ -1,0 +1,68 @@
+"""Text layer: G2P goldens, adversarial search, tokenizer invariants."""
+
+import itertools
+
+import numpy as np
+
+from heybuddy_tpu.text.adversarial import AdversarialTextGenerator, replace_phonemes
+from heybuddy_tpu.text.phonemizer import SimplePhonemizer, get_phonemizer
+from heybuddy_tpu.text.tokens import BERTTokenizer
+
+
+def test_phonemizer_golden_strings():
+    """Reference tests/test_phonemizer.py golden output."""
+    phonemizer = get_phonemizer()
+    assert phonemizer("hello world") == "[HH][AH][L][OW] [W][ER][L][D]"
+
+
+def test_phonemizer_basic_words():
+    p = SimplePhonemizer()
+    assert p("hey buddy") == "[HH][EY] [B][AH][D][IY]"
+    # every output phone is bracketed ARPAbet
+    out = p("please turn on the lights")
+    assert out.count("[") == out.count("]")
+    assert out
+
+
+def test_replace_phonemes_combinations():
+    result = replace_phonemes(["A", "B", "C"], max_replace=1, replace_char="X")
+    assert result == ["X B C", "A X C", "A B X"]
+    result2 = replace_phonemes(["A", "B", "C"], max_replace=2, replace_char="X")
+    assert "X X C" in result2 and len(result2) == 6
+
+
+def test_adversarial_generator_determinism_and_difference():
+    generator = AdversarialTextGenerator()
+    first = list(itertools.islice(generator("hello world", seed=42), 10))
+    second = list(itertools.islice(generator("hello world", seed=42), 10))
+    assert first == second
+    assert all(text != "hello world" for text in first)
+    assert len(first) == 10
+    # different seed -> different stream
+    third = list(itertools.islice(generator("hello world", seed=43), 10))
+    assert first != third
+
+
+def test_adversarial_candidates_phonetically_near():
+    generator = AdversarialTextGenerator()
+    words = generator.adversarial_words("buddy")
+    assert words
+    assert "buddy" not in words
+
+
+def test_tokenizer_fixed_length_and_consistency():
+    tokenizer = BERTTokenizer(length=96)
+    ids = tokenizer("hello world")
+    assert ids.shape == (96,)
+    assert ids.dtype == np.int64
+    assert (ids[:2] > 0).all() and (ids[2:] == 0).all()
+    np.testing.assert_array_equal(ids, tokenizer("hello world"))
+    # decoding round-trips the words (hash backend keeps a reverse map)
+    assert tokenizer.decode(ids) == "hello world"
+
+
+def test_tokenizer_disjoint_phrases_disjoint_tokens():
+    tokenizer = BERTTokenizer()
+    a = set(int(t) for t in tokenizer("hello world") if t != 0)
+    b = set(int(t) for t in tokenizer("completely different utterance") if t != 0)
+    assert a.isdisjoint(b)

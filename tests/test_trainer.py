@@ -1,0 +1,113 @@
+"""Trainer: LR schedule goldens, convergence, checkpointing, resume."""
+
+import numpy as np
+import pytest
+
+from heybuddy_tpu.training.trainer import WakeWordTrainer, get_learning_rate
+
+
+def test_learning_rate_schedule_matches_reference_formula():
+    """Golden values from the reference formula (trainer.py:127-156)."""
+    total, warmup, hold, target = 1000, 200, 333, 1e-3
+    # warmup: linear ramp
+    assert get_learning_rate(0, warmup, hold, total, target) == 0.0
+    assert abs(get_learning_rate(100, warmup, hold, total, target) - 5e-4) < 1e-9
+    # hold: constant at target
+    assert abs(get_learning_rate(300, warmup, hold, total, target) - target) < 1e-9
+    assert abs(get_learning_rate(533, warmup, hold, total, target) - target) < 1e-9
+    # cosine decay after warmup+hold
+    mid = get_learning_rate(766, warmup, hold, total, target)
+    expected = 0.5 * target * (1 + np.cos(np.pi * (766 - warmup - hold) / (total - warmup - hold)))
+    assert abs(mid - expected) < 1e-12
+    assert get_learning_rate(total, warmup, hold, total, target) < 1e-8
+
+
+class ToyIterator:
+    """Separable synthetic stream: fresh samples each batch (no memorization)."""
+
+    def __init__(self, bs=32, once=False, seed=0):
+        self.rng = np.random.default_rng(seed)
+        self.bs = bs
+        self.once = once
+
+    # Zero-mean pattern signal (a global mean shift would be erased by the
+    # model's input LayerNorm): positives follow +pattern, negatives -pattern.
+    PATTERN = np.sign(np.sin(np.arange(16 * 96))).reshape(16, 96).astype(np.float32)
+
+    def __iter__(self):
+        count = 0
+        while True:
+            noise = self.rng.normal(0.0, 1.0, (2 * self.bs, 16, 96)).astype(np.float32)
+            pos = noise[: self.bs] + self.PATTERN
+            neg = noise[self.bs :] - self.PATTERN
+            x = np.concatenate([pos, neg])
+            y = np.concatenate([np.ones(self.bs), np.zeros(self.bs)]).astype(np.float32)
+            yield x, y
+            count += 1
+            if self.once and count >= 2:
+                return
+
+
+def test_train_epoch_converges_and_validates(tmp_path):
+    trainer = WakeWordTrainer(checkpoint_dir=str(tmp_path), num_layers=1)
+    history = trainer.train_epoch(
+        ToyIterator(),
+        validation=ToyIterator(once=True, seed=1),
+        num_steps=100,
+        validation_steps=80,
+        checkpoint_steps=1000,
+        learning_rate=2e-3,
+    )
+    assert history["loss"][-1] < history["loss"][0]
+    assert history["loss"][-1] < 0.2
+    assert history["recall"][-1] > 0.9
+    assert history["validation_recall"][-1] > 0.8
+    assert len(history["loss"]) == 100
+
+
+def test_checkpoint_save_resume(tmp_path):
+    trainer = WakeWordTrainer(checkpoint_dir=str(tmp_path), num_layers=1)
+    trainer.train_epoch(ToyIterator(), num_steps=10, validation_steps=100, checkpoint_steps=1000)
+    trainer.start_stage = 1
+    trainer.resumed_negative_weight = 4.0
+    trainer.save_checkpoint("toy")
+
+    resumed = WakeWordTrainer(checkpoint_dir=str(tmp_path), num_layers=1)
+    resumed.resume("toy")
+    assert resumed.start_stage == 1
+    assert resumed.resumed_negative_weight == 4.0
+    x = np.random.default_rng(0).normal(size=(4, 16, 96)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(trainer.model(x)), np.asarray(resumed.model(x)), atol=1e-6
+    )
+
+
+def test_resume_missing_raises(tmp_path):
+    trainer = WakeWordTrainer(checkpoint_dir=str(tmp_path), num_layers=1)
+    with pytest.raises(FileNotFoundError):
+        trainer.resume("nonexistent")
+
+
+def test_dynamic_negative_weight_adjusts(tmp_path):
+    """FP/hr above target doubles the negative weight (trainer.py:531-536)."""
+
+    class AllNegativeValidation:
+        def __iter__(self):
+            # model outputs ~0.5 at init -> everything counts as a false positive
+            x = np.random.default_rng(2).normal(size=(64, 16, 96)).astype(np.float32)
+            y = np.zeros(64, dtype=np.float32)
+            yield x, y
+
+    trainer = WakeWordTrainer(checkpoint_dir=str(tmp_path), num_layers=0)
+    history = trainer.train_epoch(
+        ToyIterator(bs=8),
+        validation=AllNegativeValidation(),
+        num_steps=30,
+        validation_steps=10,
+        checkpoint_steps=1000,
+        negative_weight_schedule=1.0,
+        negative_weight_adjust_ratio=2.0,
+        target_false_positive_rate=1.5,
+        learning_rate=0.0,  # keep the model near init so FPs persist
+    )
+    assert history["negative_weight"].max() >= 2.0
