@@ -107,25 +107,45 @@ class TrainingFeaturesGenerator:
         embeddings = get_speech_embeddings()
         written = 0
         batch: List[np.ndarray] = []
+        # Double-buffered ingestion: dispatch featurization of batch i, then
+        # materialize batch i-1's result while i computes on device — TTS/host
+        # work overlaps with HBM-resident featurization (BASELINE.json north
+        # star; replaces the reference's per-batch subprocess serialization).
+        pending: Optional[Any] = None
+
+        def drain(p: Any) -> int:
+            device_arr, n_real = p
+            take = min(n_real, limit - written)
+            if take <= 0:
+                return 0
+            feats = np.asarray(device_arr)[:take]
+            if np.isnan(feats).any():
+                from heybuddy_tpu.models.featurizer import SpeechEmbeddings
+
+                feats = SpeechEmbeddings._repair_nan(feats)
+            store.append(feats.astype(np.float32))
+            return take
+
         for sample in augmenter():
             batch.append(sample["audio"]["array"])
             if len(batch) >= self.embed_batch_size:
-                written += self._flush(batch, embeddings, store, limit - written)
+                dispatched = embeddings.featurize_device(np.stack(batch))
                 batch = []
+                if pending is not None:
+                    written += drain(pending)
+                pending = dispatched
                 if written >= limit:
+                    pending = None
                     return written
-        if batch and written < limit:
-            written += self._flush(batch, embeddings, store, limit - written)
+        if batch:
+            if pending is not None:
+                written += drain(pending)
+                pending = None
+            if written < limit:
+                written += drain(embeddings.featurize_device(np.stack(batch)))
+        elif pending is not None:
+            written += drain(pending)
         return written
-
-    @staticmethod
-    def _flush(
-        batch: List[np.ndarray], embeddings: Any, store: AppendableNpyFile, remaining: int
-    ) -> int:
-        clips = np.stack(batch)[:remaining]
-        feats = embeddings(clips)  # (n, 16, 96)
-        store.append(feats.astype(np.float32))
-        return clips.shape[0]
 
     def generate(
         self,

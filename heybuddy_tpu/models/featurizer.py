@@ -86,6 +86,21 @@ class SpeechEmbeddings:
         # compiled shapes when callers stream variable batch sizes.
         self.pad_to_multiple = pad_to_multiple
 
+    def featurize_device(self, audio_batch: np.ndarray) -> Tuple[jax.Array, int]:
+        """
+        Asynchronously dispatch featurization of a prepared (b, t) float32
+        batch in [-1, 1]; returns the (padded) device array and the real row
+        count. Used for double-buffered ingestion: the caller materializes the
+        previous batch's result while this one computes.
+        """
+        mono = audio_batch.astype(np.float32) * 32767.0
+        b, t = mono.shape
+        pad_b = (-b) % self.pad_to_multiple if b > self.pad_to_multiple else 0
+        if pad_b:
+            mono = np.concatenate([mono, np.zeros((pad_b, t), dtype=np.float32)], axis=0)
+        fn = _jitted_featurize(self.compute_dtype.name)
+        return fn(self.params, jnp.asarray(mono)), b
+
     def __call__(
         self,
         audio: Any,

@@ -89,16 +89,19 @@ def mel_filterbank(
 def dft_basis(
     n_fft: int = MEL_N_FFT,
     win_length: int = MEL_WIN_LENGTH,
+    n_freqs: Optional[int] = None,
 ) -> np.ndarray:
     """
-    Windowed real-DFT basis, shape (n_fft, 2*(n_fft//2+1)).
+    Windowed real-DFT basis, shape (n_fft, 2*n_freqs).
 
     Column block [0, n_freqs) is the cosine part, [n_freqs, 2*n_freqs) the sine
     part, each pre-multiplied by a Hann window of ``win_length`` centered in the
     n_fft frame (torchaudio pads the window symmetrically to n_fft). One matmul
-    against this basis produces both DFT components.
+    against this basis produces both DFT components. ``n_freqs`` below the full
+    n_fft//2+1 truncates to the low-frequency band (see :func:`mel_band_freqs`).
     """
-    n_freqs = n_fft // 2 + 1
+    if n_freqs is None:
+        n_freqs = n_fft // 2 + 1
     window = np.hanning(win_length + 1)[:win_length]  # periodic hann, torch.hann_window
     padded = np.zeros(n_fft)
     left = (n_fft - win_length) // 2
@@ -111,6 +114,23 @@ def dft_basis(
     return (padded[:, None] * basis).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=None)
+def mel_band_freqs(
+    n_fft: int = MEL_N_FFT,
+    sample_rate: int = SAMPLE_RATE,
+    f_max: float = MEL_F_MAX,
+) -> int:
+    """
+    Number of DFT bins actually covered by the mel filterbank. Frequencies
+    above ``f_max`` (3.8 kHz of the 8 kHz Nyquist band) receive zero mel
+    weight, so the DFT matmul can drop them exactly — roughly halving the
+    dominant matmul of the featurization pipeline. Rounded up to a multiple
+    of 8 for clean VPU/MXU tiling.
+    """
+    bins = int(np.ceil(f_max / (sample_rate / 2) * (n_fft // 2))) + 2
+    return min(((bins + 7) // 8) * 8, n_fft // 2 + 1)
+
+
 def frame_audio(
     audio: jax.Array,
     n_fft: int = MEL_N_FFT,
@@ -119,10 +139,19 @@ def frame_audio(
     """
     Extract overlapping frames: (batch, t) -> (batch, n_frames, n_fft).
 
-    Uses conv_general_dilated_patches, which XLA lowers to an efficient strided
-    window read (no Python loops, no gathers).
+    Fast path ("hop stacking"): when ``t`` is a whole number of hops, reshape
+    the signal into hops and concatenate ceil(n_fft/hop) shifted views — pure
+    layout ops, no gather. Falls back to conv_general_dilated_patches for
+    irregular lengths.
     """
     b, t = audio.shape
+    n = num_frames(t, n_fft, hop)
+    hops_per_frame = -(-n_fft // hop)  # ceil
+    if t % hop == 0 and (n - 1) + hops_per_frame <= t // hop:
+        hops = audio.reshape(b, t // hop, hop)
+        parts = [hops[:, k : k + n, :] for k in range(hops_per_frame)]
+        stacked = jnp.concatenate(parts, axis=-1)  # (b, n, hops_per_frame*hop)
+        return stacked[:, :, :n_fft]
     frames = jax.lax.conv_general_dilated_patches(
         audio[:, None, :],  # (b, 1, t) NCW
         filter_shape=(n_fft,),
@@ -155,10 +184,12 @@ def mel_spectrogram(
     if audio.ndim == 1:
         audio = audio[None, :]
     b, t = audio.shape
-    n_freqs = n_fft // 2 + 1
+    # Exact band truncation: bins above f_max carry zero mel weight, so the
+    # DFT only computes the covered low band (~124 of 257 bins by default).
+    n_freqs = mel_band_freqs(n_fft, sample_rate, f_max)
 
     frames = frame_audio(audio, n_fft=n_fft, hop=hop)  # (b, F, n_fft)
-    basis = jnp.asarray(dft_basis(n_fft, win_length))
+    basis = jnp.asarray(dft_basis(n_fft, win_length, n_freqs))
     if compute_dtype is not None:
         frames = frames.astype(compute_dtype)
         basis = basis.astype(compute_dtype)
@@ -173,7 +204,9 @@ def mel_spectrogram(
     re, im = spectrum[..., :n_freqs], spectrum[..., n_freqs:]
     power = re * re + im * im  # (b, F, n_freqs)
 
-    fb = jnp.asarray(mel_filterbank(n_mels, n_fft, sample_rate, f_min, f_max))
+    fb = jnp.asarray(
+        mel_filterbank(n_mels, n_fft, sample_rate, f_min, f_max)[:n_freqs]
+    )
     mel = jax.lax.dot_general(
         power,
         fb,
