@@ -4,17 +4,24 @@ Frozen speech-embedding network: (76, 32) log-mel window -> 96-dim embedding.
 Role parity with the reference's frozen Google speech-embedding ONNX model
 (reference embeddings.py:23-54; browser mirror models/speech-embedding.ts).
 The reference's weights are a hosted artifact this framework cannot assume
-access to, so the network itself is re-designed TPU-first instead of being a
-conv-graph translation:
+access to, so the network is re-designed TPU-first rather than translated:
 
-* **All-matmul mixer**: the fixed 76x32 input is patchified along time
-  (19 patches x (4*32) dims) and processed by token-mixing + channel-MLP
-  blocks — every FLOP is a dense matmul on the MXU; no small-channel convs
-  that would waste systolic-array occupancy.
-* **Deterministic frozen init**: parameters derive from a fixed seed so
-  cached feature shards remain consistent across hosts/sessions. Real
-  deployments load trained weights via :func:`load_params` /
-  :func:`save_params` (npz).
+* **Shared patch trunk + window pooling.** The classifier consumes 16
+  *overlapping* windows per clip (stride 8 frames of a 76-frame window), so a
+  per-window conv/mixer recomputes every patch ~9.5x. Instead, the full
+  spectrogram is tiled once into non-overlapping 4-frame patches, each patch
+  runs through a small MLP trunk exactly once, and every window gathers its 19
+  patch features and reduces them with multi-head attention pooling. Window
+  starts are always multiples of 4 frames (ops/windows.py), so a window's
+  embedding depends only on its own 76 frames — identical semantics to a
+  per-window network, at ~1/9 the compute and a fraction of the HBM traffic.
+* **All-matmul, bfloat16 end to end** with f32 accumulation: patch projection,
+  trunk MLPs, pooling scores, and the output head are dense matmuls on the
+  MXU; there are no small-channel convs, transposes, or f32 norm round-trips
+  in the hot path.
+* **Deterministic frozen init**: parameters derive from a fixed seed so cached
+  feature shards are reproducible across hosts. Trained weights load via
+  :func:`load_params` / env ``HEYBUDDY_EMBEDDING_WEIGHTS``.
 
 The embedding is *frozen* during wake-word training, exactly as in the
 reference: it defines the feature space, the classifier trains on top.
@@ -23,7 +30,7 @@ reference: it defines the feature space, the classifier trains on top.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +42,7 @@ __all__ = [
     "EmbeddingNetConfig",
     "init_params",
     "apply",
+    "apply_spectrogram",
     "default_params",
     "save_params",
     "load_params",
@@ -52,21 +60,21 @@ class EmbeddingNetConfig:
         mel_bins: int = MEL_BINS,
         patch_frames: int = 4,
         hidden_dim: int = 192,
-        token_hidden_dim: int = 64,
-        channel_hidden_dim: int = 384,
-        num_blocks: int = 3,
+        trunk_hidden_dim: int = 384,
+        trunk_blocks: int = 2,
+        pool_heads: int = 4,
         embedding_dim: int = EMBEDDING_DIM,
     ) -> None:
         assert window_size % patch_frames == 0
         self.window_size = window_size
         self.mel_bins = mel_bins
         self.patch_frames = patch_frames
-        self.num_tokens = window_size // patch_frames
-        self.patch_dim = patch_frames * mel_bins
+        self.window_patches = window_size // patch_frames  # 19
+        self.patch_dim = patch_frames * mel_bins  # 128
         self.hidden_dim = hidden_dim
-        self.token_hidden_dim = token_hidden_dim
-        self.channel_hidden_dim = channel_hidden_dim
-        self.num_blocks = num_blocks
+        self.trunk_hidden_dim = trunk_hidden_dim
+        self.trunk_blocks = trunk_blocks
+        self.pool_heads = pool_heads
         self.embedding_dim = embedding_dim
 
     def as_dict(self) -> Dict[str, int]:
@@ -75,9 +83,9 @@ class EmbeddingNetConfig:
             "mel_bins": self.mel_bins,
             "patch_frames": self.patch_frames,
             "hidden_dim": self.hidden_dim,
-            "token_hidden_dim": self.token_hidden_dim,
-            "channel_hidden_dim": self.channel_hidden_dim,
-            "num_blocks": self.num_blocks,
+            "trunk_hidden_dim": self.trunk_hidden_dim,
+            "trunk_blocks": self.trunk_blocks,
+            "pool_heads": self.pool_heads,
             "embedding_dim": self.embedding_dim,
         }
 
@@ -90,60 +98,75 @@ def _dense_init(key: jax.Array, shape: Tuple[int, int]) -> jax.Array:
 
 def init_params(key: jax.Array, config: Optional[EmbeddingNetConfig] = None) -> Params:
     cfg = config or EmbeddingNetConfig()
-    keys = jax.random.split(key, 2 + 4 * cfg.num_blocks)
+    keys = jax.random.split(key, 5 + 2 * cfg.trunk_blocks)
     params: Params = {
         "patch_proj": {
             "w": _dense_init(keys[0], (cfg.patch_dim, cfg.hidden_dim)),
             "b": jnp.zeros((cfg.hidden_dim,)),
         },
-        "blocks": [],
-        "out_norm": {"g": jnp.ones((cfg.hidden_dim,)), "b": jnp.zeros((cfg.hidden_dim,))},
-        "out_proj": {
-            "w": _dense_init(keys[1], (cfg.hidden_dim, cfg.embedding_dim)),
-            "b": jnp.zeros((cfg.embedding_dim,)),
-        },
-    }
-    for i in range(cfg.num_blocks):
-        k0, k1, k2, k3 = keys[2 + 4 * i : 6 + 4 * i]
-        params["blocks"].append(
+        "trunk": [
             {
-                "token_norm": {"g": jnp.ones((cfg.hidden_dim,)), "b": jnp.zeros((cfg.hidden_dim,))},
-                "token_up": {
-                    "w": _dense_init(k0, (cfg.num_tokens, cfg.token_hidden_dim)),
-                    "b": jnp.zeros((cfg.token_hidden_dim,)),
+                "up": {
+                    "w": _dense_init(keys[1 + 2 * i], (cfg.hidden_dim, cfg.trunk_hidden_dim)),
+                    "b": jnp.zeros((cfg.trunk_hidden_dim,)),
                 },
-                "token_down": {
-                    "w": _dense_init(k1, (cfg.token_hidden_dim, cfg.num_tokens)),
-                    "b": jnp.zeros((cfg.num_tokens,)),
-                },
-                "channel_norm": {"g": jnp.ones((cfg.hidden_dim,)), "b": jnp.zeros((cfg.hidden_dim,))},
-                "channel_up": {
-                    "w": _dense_init(k2, (cfg.hidden_dim, cfg.channel_hidden_dim)),
-                    "b": jnp.zeros((cfg.channel_hidden_dim,)),
-                },
-                "channel_down": {
-                    "w": _dense_init(k3, (cfg.channel_hidden_dim, cfg.hidden_dim)),
+                "down": {
+                    "w": _dense_init(keys[2 + 2 * i], (cfg.trunk_hidden_dim, cfg.hidden_dim)),
                     "b": jnp.zeros((cfg.hidden_dim,)),
                 },
             }
-        )
+            for i in range(cfg.trunk_blocks)
+        ],
+        # learned positional code added per window position (19, hidden)
+        "pos": 0.02
+        * jax.random.normal(keys[1 + 2 * cfg.trunk_blocks], (cfg.window_patches, cfg.hidden_dim)),
+        "pool_query": _dense_init(
+            keys[2 + 2 * cfg.trunk_blocks], (cfg.hidden_dim, cfg.pool_heads)
+        ),
+        "head": {
+            "w": _dense_init(
+                keys[3 + 2 * cfg.trunk_blocks],
+                (cfg.hidden_dim * cfg.pool_heads, cfg.embedding_dim),
+            ),
+            "b": jnp.zeros((cfg.embedding_dim,)),
+        },
+    }
     return params
-
-
-def _layernorm(x: jax.Array, g: jax.Array, b: jax.Array, eps: float = 1e-6) -> jax.Array:
-    # Normalize in f32 regardless of compute dtype (mirrors the reference's
-    # FloatLayerNorm, modules/mixed_precision.py:7).
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.var(xf, axis=-1, keepdims=True)
-    out = (xf - mean) * jax.lax.rsqrt(var + eps) * g + b
-    return out.astype(x.dtype)
 
 
 def _dense(x: jax.Array, p: Dict[str, jax.Array]) -> jax.Array:
     return (
         jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32) + p["b"]
     ).astype(x.dtype)
+
+
+def _rms_scale(x: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """Cheap RMS normalization (no mean subtraction, no f32 round trip)."""
+    ms = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    return (x.astype(jnp.float32) * jax.lax.rsqrt(ms + eps)).astype(x.dtype)
+
+
+def _apply_trunk(params: Params, patches: jax.Array) -> jax.Array:
+    """(..., patch_dim) -> (..., hidden) shared patch features."""
+    x = _dense(_rms_scale(patches), params["patch_proj"])
+    for block in params["trunk"]:
+        h = jax.nn.gelu(_dense(_rms_scale(x), block["up"]))
+        x = x + _dense(h, block["down"])
+    return x
+
+
+def _apply_pool(params: Params, feats: jax.Array) -> jax.Array:
+    """(n, window_patches, hidden) -> (n, embedding_dim) attention pooling."""
+    compute = feats.dtype
+    x = feats + params["pos"].astype(compute)
+    scores = jnp.dot(
+        x, params["pool_query"].astype(compute), preferred_element_type=jnp.float32
+    )  # (n, P, heads)
+    weights = jax.nn.softmax(scores.astype(jnp.float32), axis=1).astype(compute)
+    pooled = jnp.einsum("nph,npd->nhd", weights, x)  # (n, heads, hidden)
+    pooled = pooled.reshape(pooled.shape[0], -1)
+    out = _dense(_rms_scale(pooled), params["head"])
+    return out.astype(jnp.float32)
 
 
 def apply(
@@ -153,35 +176,50 @@ def apply(
     compute_dtype: jnp.dtype = jnp.bfloat16,
 ) -> jax.Array:
     """
-    Forward pass: (n, 76, 32) or (n, 76, 32, 1) windows -> (n, 96) embeddings.
+    Per-window forward: (n, 76, 32) or (n, 76, 32, 1) -> (n, 96).
 
-    Matmuls run in ``compute_dtype`` (bfloat16 by default — MXU native) with
-    float32 accumulation; layer norms are float32.
+    Equivalent to gathering from :func:`apply_spectrogram` when the window's
+    frames align to the patch grid (they always do in the pipeline).
     """
     cfg = config or EmbeddingNetConfig()
     if windows.ndim == 4:
         windows = windows[..., 0]
     n = windows.shape[0]
-    x = windows.reshape(n, cfg.num_tokens, cfg.patch_dim).astype(compute_dtype)
-    x = _dense(x, params["patch_proj"])  # (n, tokens, hidden)
+    patches = windows.reshape(n, cfg.window_patches, cfg.patch_dim).astype(compute_dtype)
+    feats = _apply_trunk(params, patches)
+    return _apply_pool(params, feats)
 
-    for block in params["blocks"]:
-        # Token mixing: matmul across the token axis.
-        h = _layernorm(x, block["token_norm"]["g"], block["token_norm"]["b"])
-        h = jnp.swapaxes(h, 1, 2)  # (n, hidden, tokens)
-        h = jax.nn.gelu(_dense(h, block["token_up"]))
-        h = _dense(h, block["token_down"])
-        x = x + jnp.swapaxes(h, 1, 2)
-        # Channel MLP.
-        h = _layernorm(x, block["channel_norm"]["g"], block["channel_norm"]["b"])
-        h = jax.nn.gelu(_dense(h, block["channel_up"]))
-        h = _dense(h, block["channel_down"])
-        x = x + h
 
-    x = _layernorm(x, params["out_norm"]["g"], params["out_norm"]["b"])
-    x = jnp.mean(x, axis=1)  # pool over tokens
-    out = _dense(x, params["out_proj"])
-    return out.astype(jnp.float32)
+def apply_spectrogram(
+    params: Params,
+    spectrogram: jax.Array,
+    window_starts: Sequence[int],
+    config: Optional[EmbeddingNetConfig] = None,
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+) -> jax.Array:
+    """
+    Whole-clip forward: (b, frames, mel) + static window starts -> (b, W, 96).
+
+    The trunk runs ONCE over non-overlapping 4-frame patches of the full
+    spectrogram; each window (start divisible by patch_frames) gathers its 19
+    patch features and pools. This is the fused fast path used by the
+    featurizer.
+    """
+    cfg = config or EmbeddingNetConfig()
+    b, frames, mel = spectrogram.shape
+    usable = (frames // cfg.patch_frames) * cfg.patch_frames
+    patches = spectrogram[:, :usable].reshape(
+        b, usable // cfg.patch_frames, cfg.patch_dim
+    ).astype(compute_dtype)
+    feats = _apply_trunk(params, patches)  # (b, P, hidden)
+
+    starts = np.asarray(window_starts)
+    assert (starts % cfg.patch_frames == 0).all(), "window starts must align to patch grid"
+    idx = starts[:, None] // cfg.patch_frames + np.arange(cfg.window_patches)[None, :]
+    gathered = jnp.take(feats, jnp.asarray(idx), axis=1)  # (b, W, 19, hidden)
+    w = gathered.shape[1]
+    pooled = _apply_pool(params, gathered.reshape(b * w, cfg.window_patches, -1))
+    return pooled.reshape(b, w, -1)
 
 
 _DEFAULT_PARAMS_CACHE: Dict[int, Params] = {}

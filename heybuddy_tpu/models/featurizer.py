@@ -51,11 +51,12 @@ def featurize_batch(
     b, t = audio.shape
     spec = mel_spectrogram(audio)  # (b, F, 32) float32
     starts = embedding_window_starts(t)
-    windows = extract_windows(spec, starts)  # (b, n, 76, 32)
-    n = windows.shape[1]
-    flat = windows.reshape(b * n, *windows.shape[2:])
-    emb = embedding_net.apply(params, flat, config=config, compute_dtype=compute_dtype)
-    return emb.reshape(b, n, emb.shape[-1])
+    # Fused fast path: the embedding trunk runs once over the full
+    # spectrogram's patch grid; windows gather trunk features and pool
+    # (embedding_net.apply_spectrogram docstring).
+    return embedding_net.apply_spectrogram(
+        params, spec, starts, config=config, compute_dtype=compute_dtype
+    )
 
 
 @functools.lru_cache(maxsize=8)
