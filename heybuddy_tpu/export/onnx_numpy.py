@@ -88,7 +88,11 @@ class OnnxRunner:
             lead = int(np.prod(shape[:axis])) if axis > 0 else 1
             return args[0].reshape(lead, -1)
         if op == "Reshape":
-            shape = [int(s) for s in args[1]]
+            # ONNX semantics: 0 copies the input dim, -1 infers.
+            shape = [
+                args[0].shape[i] if int(s) == 0 else int(s)
+                for i, s in enumerate(args[1])
+            ]
             return args[0].reshape(shape)
         if op == "ReduceMean":
             axes = node.attr("axes")
@@ -118,6 +122,24 @@ class OnnxRunner:
         if op == "Concat":
             axis = node.attr("axis", 0)
             return np.concatenate(args, axis=axis)
+        if op == "Log":
+            return np.log(args[0])
+        if op == "Exp":
+            return np.exp(args[0])
+        if op == "Erf":
+            from scipy.special import erf
+
+            return erf(args[0]).astype(args[0].dtype)
+        if op == "Pow":
+            return np.power(args[0], args[1])
+        if op == "Slice":
+            starts = args[1].astype(np.int64)
+            ends = args[2].astype(np.int64)
+            axes = args[3].astype(np.int64) if len(args) > 3 else np.arange(len(starts))
+            slices = [slice(None)] * args[0].ndim
+            for s, e, a in zip(starts, ends, axes):
+                slices[int(a)] = slice(int(s), int(e))
+            return args[0][tuple(slices)]
         raise NotImplementedError(f"ONNX op not supported by numpy runner: {op}")
 
 

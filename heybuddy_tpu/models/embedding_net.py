@@ -150,7 +150,7 @@ def _apply_trunk(params: Params, patches: jax.Array) -> jax.Array:
     """(..., patch_dim) -> (..., hidden) shared patch features."""
     x = _dense(_rms_scale(patches), params["patch_proj"])
     for block in params["trunk"]:
-        h = jax.nn.gelu(_dense(_rms_scale(x), block["up"]))
+        h = jax.nn.gelu(_dense(_rms_scale(x), block["up"]), approximate=False)
         x = x + _dense(h, block["down"])
     return x
 
