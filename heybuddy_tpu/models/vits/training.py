@@ -1,0 +1,222 @@
+"""
+VITS training-side graph.
+
+Capability parity with reference ``piper/models.py`` training path:
+PosteriorEncoder (models.py:376-441), the training ``forward`` with monotonic
+maximum-path alignment (models.py:663-722, using the native
+ops/monotonic_align DP in place of the reference's Cython extension), random
+segment slicing for decoder training (common.py:96), and the standard VITS
+KL / duration losses. Like the reference, the GAN discriminators are out of
+scope — this provides the generator-side graph needed to fine-tune voices.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from heybuddy_tpu.models.vits import modules as m
+from heybuddy_tpu.models.vits.synthesizer import VitsConfig, generate_path, text_encoder
+from heybuddy_tpu.ops.monotonic_align import maximum_path
+
+Params = Dict[str, Any]
+
+__all__ = [
+    "posterior_encoder_init",
+    "posterior_encoder",
+    "rand_slice_segments",
+    "training_forward",
+    "kl_loss",
+]
+
+
+def posterior_encoder_init(
+    key: jax.Array,
+    in_channels: int = 513,
+    out_channels: int = 192,
+    hidden_channels: int = 192,
+    kernel_size: int = 5,
+    n_layers: int = 16,
+    gin_channels: int = 512,
+) -> Params:
+    """PosteriorEncoder params (reference models.py:376-441)."""
+    k_pre, k_wn, k_proj = jax.random.split(key, 3)
+    return {
+        "pre": m.conv1d_init(k_pre, in_channels, hidden_channels, 1),
+        "enc": m.wn_init(k_wn, hidden_channels, kernel_size, 1, n_layers, gin_channels),
+        "proj": m.conv1d_init(k_proj, hidden_channels, 2 * out_channels, 1),
+    }
+
+
+def posterior_encoder(
+    p: Params,
+    key: jax.Array,
+    spec: jax.Array,
+    spec_lengths: jax.Array,
+    g: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """(b, spec_channels, t) linear spectrogram -> sampled latent z, stats, mask."""
+    t = spec.shape[-1]
+    y_mask = m.sequence_mask(spec_lengths, t)[:, None, :]
+    h = m.conv1d(p["pre"], spec) * y_mask
+    h = m.wn(p["enc"], h, y_mask, g=g)
+    stats = m.conv1d(p["proj"], h) * y_mask
+    out = stats.shape[1] // 2
+    m_q, logs_q = stats[:, :out], stats[:, out:]
+    z = (m_q + jax.random.normal(key, m_q.shape) * jnp.exp(logs_q)) * y_mask
+    return z, m_q, logs_q, y_mask
+
+
+def rand_slice_segments(
+    key: jax.Array, x: jax.Array, lengths: jax.Array, segment_size: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Random fixed-size time slices per batch row (reference common.py:96)."""
+    b, _, t = x.shape
+    max_start = jnp.maximum(lengths - segment_size, 1)
+    starts = (jax.random.uniform(key, (b,)) * max_start.astype(jnp.float32)).astype(jnp.int32)
+
+    def slice_one(row: jax.Array, start: jax.Array) -> jax.Array:
+        return jax.lax.dynamic_slice_in_dim(row, start, segment_size, axis=-1)
+
+    return jax.vmap(slice_one)(x, starts), starts
+
+
+@jax.custom_jvp
+def _maximum_path_callback(neg_cent: jax.Array, attn_mask: jax.Array) -> jax.Array:
+    """Host monotonic-alignment DP; treated as a constant under autodiff
+    (the reference detaches the path too, models.py:694)."""
+
+    def host(args: Tuple[Any, Any]) -> np.ndarray:
+        value = np.asarray(args[0])
+        mask = np.asarray(args[1])
+        return maximum_path(
+            np.transpose(value, (0, 2, 1)), np.transpose(mask, (0, 2, 1))
+        ).transpose(0, 2, 1).astype(np.float32)
+
+    return jax.pure_callback(
+        host, jax.ShapeDtypeStruct(neg_cent.shape, jnp.float32), (neg_cent, attn_mask)
+    )
+
+
+@_maximum_path_callback.defjvp
+def _maximum_path_jvp(primals, tangents):
+    out = _maximum_path_callback(*primals)
+    return out, jnp.zeros_like(out)
+
+
+def residual_coupling_forward(
+    p: Params, z: jax.Array, y_mask: jax.Array, g: Optional[jax.Array]
+) -> jax.Array:
+    """Flow forward direction (z -> z_p), the reverse of synthesizer inference."""
+    for layer in p["layers"]:
+        z = m.residual_coupling_layer(layer, z, y_mask, g=g, reverse=False)
+        z = m.flip_flow(z)
+    return z
+
+
+def kl_loss(
+    z_p: jax.Array,
+    logs_q: jax.Array,
+    m_p: jax.Array,
+    logs_p: jax.Array,
+    y_mask: jax.Array,
+) -> jax.Array:
+    """Standard VITS prior/posterior KL (computed on flow-mapped latents)."""
+    kl = logs_p - logs_q - 0.5
+    kl = kl + 0.5 * (jnp.square(z_p - m_p)) * jnp.exp(-2.0 * logs_p)
+    return jnp.sum(kl * y_mask) / jnp.maximum(jnp.sum(y_mask), 1.0)
+
+
+def training_forward(
+    params: Params,
+    posterior_params: Params,
+    key: jax.Array,
+    phoneme_ids: jax.Array,
+    phoneme_lengths: jax.Array,
+    spec: jax.Array,
+    spec_lengths: jax.Array,
+    speaker_embedding: Optional[jax.Array] = None,
+    segment_size: int = 32,
+    config: VitsConfig = VitsConfig(),
+) -> Dict[str, Any]:
+    """
+    VITS generator training forward (reference models.py:663-722).
+
+    Returns the decoded audio segment, slice indices, duration loss, KL loss,
+    and the alignment, ready for a reconstruction + adversarial objective.
+    The monotonic alignment search runs on host via the native DP (pure
+    callback): sequential per mel frame, it does not map to TPU vector units.
+    """
+    cfg = config
+    b, t_x = phoneme_ids.shape
+    x_mask = m.sequence_mask(phoneme_lengths, t_x)[:, None, :]
+    h, m_p, logs_p = text_encoder(params["enc_p"], phoneme_ids, x_mask, cfg.hidden_channels)
+
+    g = speaker_embedding[:, :, None] if speaker_embedding is not None else None
+
+    k_post, k_slice, k_dur = jax.random.split(key, 3)
+    z, m_q, logs_q, y_mask = posterior_encoder(
+        posterior_params, k_post, spec, spec_lengths, g=g
+    )
+    z_p = residual_coupling_forward(params["flow"], z, y_mask, g)
+
+    # Alignment log-likelihoods (reference models.py:676-694).
+    s_p_sq_r = jnp.exp(-2.0 * logs_p)  # (b, d, t_x)
+    neg_cent1 = jnp.sum(-0.5 * math.log(2 * math.pi) - logs_p, axis=1)[:, None, :]  # (b,1,tx)
+    neg_cent2 = jnp.einsum("bdy,bdx->byx", -0.5 * jnp.square(z_p), s_p_sq_r)
+    neg_cent3 = jnp.einsum("bdy,bdx->byx", z_p, m_p * s_p_sq_r)
+    neg_cent4 = jnp.sum(-0.5 * jnp.square(m_p) * s_p_sq_r, axis=1)[:, None, :]
+    neg_cent = neg_cent1 + neg_cent2 + neg_cent3 + neg_cent4  # (b, t_y, t_x)
+
+    attn_mask = (y_mask[:, 0, :, None] * x_mask[:, 0, None, :])  # (b, t_y, t_x)
+
+    attn = _maximum_path_callback(neg_cent, attn_mask)  # (b, t_y, t_x)
+
+    durations = jnp.sum(attn, axis=1)[:, None, :]  # (b, 1, t_x)
+
+    # Duration loss: log-domain MSE against the deterministic predictor's
+    # output (the non-SDP branch of reference models.py:703-711); the SDP NLL
+    # variant requires its forward flows and is tracked as future work.
+    logw_target = jnp.log(durations + 1e-6) * x_mask
+    if "dp" in params and "proj" in params["dp"]:
+        h_dur = m.conv1d(params["dp"]["pre"], jax.lax.stop_gradient(h))
+        if g is not None:
+            h_dur = h_dur + m.conv1d(params["dp"]["cond"], jax.lax.stop_gradient(g))
+        h_dur = m.ddsconv(params["dp"]["convs"], h_dur, x_mask)
+        logw_hat = m.conv1d(params["dp"]["proj"], h_dur)[:, :1] * x_mask
+    else:
+        logw_hat = jnp.zeros_like(logw_target)
+    duration_loss = jnp.sum(jnp.square(logw_hat - logw_target) * x_mask) / jnp.maximum(
+        jnp.sum(x_mask), 1.0
+    )
+
+    # Expand priors along the alignment.
+    m_p_exp = jnp.einsum("byx,bdx->bdy", attn, m_p)
+    logs_p_exp = jnp.einsum("byx,bdx->bdy", attn, logs_p)
+
+    loss_kl = kl_loss(z_p, logs_q, m_p_exp, logs_p_exp, y_mask)
+
+    z_slice, ids_slice = rand_slice_segments(k_slice, z, spec_lengths, segment_size)
+    from heybuddy_tpu.models.vits.synthesizer import generator
+
+    audio_segment = generator(params["dec"], z_slice, g, cfg)
+
+    return {
+        "audio_segment": audio_segment,
+        "ids_slice": ids_slice,
+        "attn": attn,
+        "duration_loss": duration_loss,
+        "kl_loss": loss_kl,
+        "z": z,
+        "z_p": z_p,
+        "m_p": m_p_exp,
+        "logs_p": logs_p_exp,
+        "m_q": m_q,
+        "logs_q": logs_q,
+        "x_mask": x_mask,
+        "y_mask": y_mask,
+    }
