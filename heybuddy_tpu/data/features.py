@@ -34,6 +34,48 @@ from heybuddy_tpu.utils.strings import safe_name
 __all__ = ["TrainingFeaturesGenerator"]
 
 
+def autoconfigure_batch_sizes() -> Dict[str, int]:
+    """
+    Resource-tiered batch sizes (equivalent of reference features.py:171-218,
+    which tiers by VRAM/RAM): host RAM bounds the augment/TTS staging buffers,
+    device HBM bounds the featurization batch.
+    """
+    ram_gib = 16.0
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable"):
+                    ram_gib = int(line.split()[1]) / (1024 ** 2)
+                    break
+    except OSError:
+        pass
+
+    hbm_gib = 16.0
+    try:
+        import jax
+
+        stats = jax.devices()[0].memory_stats()
+        if stats and "bytes_limit" in stats:
+            hbm_gib = stats["bytes_limit"] / (1024 ** 3)
+    except Exception:
+        pass
+
+    if ram_gib < 8:
+        host_tier = {"tts_batch_size": 4, "augment_batch_size": 32}
+    elif ram_gib < 16:
+        host_tier = {"tts_batch_size": 8, "augment_batch_size": 64}
+    else:
+        host_tier = {"tts_batch_size": 8, "augment_batch_size": 128}
+
+    if hbm_gib < 8:
+        embed = 128
+    elif hbm_gib < 16:
+        embed = 256
+    else:
+        embed = 512
+    return {**host_tier, "embed_batch_size": embed}
+
+
 class TrainingFeaturesGenerator:
     """Generate-and-cache classifier features for a wake phrase."""
 
@@ -42,14 +84,18 @@ class TrainingFeaturesGenerator:
         phrase: Union[str, List[str]],
         directory: Optional[str] = None,
         augment_config: AugmentConfig = AugmentConfig(),
-        embed_batch_size: int = 256,
-        tts_batch_size: int = 8,
-        augment_batch_size: int = 128,
+        embed_batch_size: Optional[int] = None,
+        tts_batch_size: Optional[int] = None,
+        augment_batch_size: Optional[int] = None,
         use_cache: bool = True,
         seed: int = 0,
         tts_backend: Optional[str] = None,
         **generator_kwargs: Any,
     ) -> None:
+        auto = autoconfigure_batch_sizes()
+        embed_batch_size = embed_batch_size or auto["embed_batch_size"]
+        tts_batch_size = tts_batch_size or auto["tts_batch_size"]
+        augment_batch_size = augment_batch_size or auto["augment_batch_size"]
         self.phrase = phrase
         self.phrase_key = phrase if isinstance(phrase, str) else " ".join(phrase)
         self.directory = directory or get_default_dataset_dir()
