@@ -250,14 +250,19 @@ class WakeWordTrainer:
 
             recall = stat_tp / jnp.maximum(stat_tp + stat_fn, 1.0)
             fp_rate = stat_fp / jnp.maximum(stat_nneg, 1.0)
-            metrics = {
-                "loss": loss,
-                "high_loss_rate": n_hard / batch,
-                "recall": recall,
-                "false_positive_rate": fp_rate,
-                "did_step": will_step,
-                "n_hard": n_hard,
-            }
+            # Packed as ONE array so the host fetches one buffer per step
+            # (scalar-by-scalar fetches are expensive on remote-tunneled
+            # devices): [loss, high_loss_rate, recall, fp_rate, did_step, n_hard]
+            metrics = jnp.stack(
+                [
+                    loss,
+                    n_hard / batch,
+                    recall,
+                    fp_rate,
+                    will_step.astype(jnp.float32),
+                    n_hard,
+                ]
+            )
             return new_params, new_opt_state, new_carry, metrics
 
         return jax.jit(step, donate_argnums=(0, 1, 2))
@@ -434,19 +439,21 @@ class WakeWordTrainer:
             params, opt_state, carry, metrics = train_step(
                 params, opt_state, carry, x, y, rng, jnp.float32(lr), jnp.float32(neg_weight)
             )
+            # One host fetch per step: [loss, hard_rate, recall, fp, did_step, n_hard]
+            m = np.asarray(metrics)
 
             history["learning_rate"].append(lr)
             history["negative_weight"].append(neg_weight)
-            did_step = bool(metrics["did_step"])
+            did_step = bool(m[4] > 0)
             if did_step or not history["loss"]:
-                history["loss"].append(float(metrics["loss"]))
-                history["recall"].append(float(metrics["recall"]))
-                history["false_positive_rate"].append(float(metrics["false_positive_rate"]))
+                history["loss"].append(float(m[0]))
+                history["recall"].append(float(m[2]))
+                history["false_positive_rate"].append(float(m[3]))
             else:
                 history["loss"].append(history["loss"][-1])
                 history["recall"].append(history["recall"][-1])
                 history["false_positive_rate"].append(history["false_positive_rate"][-1])
-            history["high_loss_rate"].append(float(metrics["high_loss_rate"]))
+            history["high_loss_rate"].append(float(m[1]))
 
             ran_eval = step > 0 and step % validation_steps == 0
             if ran_eval and has_validation:
@@ -502,7 +509,7 @@ class WakeWordTrainer:
                 logger.info(
                     f"{description} step {step}/{num_steps}: loss={history['loss'][-1]:.5f} "
                     f"recall={history['recall'][-1]:.3f} fp={history['false_positive_rate'][-1]:.4f} "
-                    f"hard={float(metrics['high_loss_rate']):.3f} lr={lr:.2e} nw={neg_weight:g}"
+                    f"hard={float(m[1]):.3f} lr={lr:.2e} nw={neg_weight:g}"
                 )
 
         self.model.params = jax.device_get(params)
