@@ -75,9 +75,24 @@ from heybuddy_tpu.constants import (
 )
 
 
+def _enable_compilation_cache() -> None:
+    """Persist XLA compilations across CLI invocations (first TPU compile of
+    the featurizer/train step can take minutes on remote-compile backends)."""
+    try:
+        import jax
+
+        from heybuddy_tpu.utils.downloads import get_cache_dir
+
+        jax.config.update("jax_compilation_cache_dir", get_cache_dir("xla-cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 @click.group(name="heybuddy")
 def main() -> None:
     """heybuddy-tpu: TPU-native wake-word training and deployment."""
+    _enable_compilation_cache()
 
 
 # --------------------------------------------------------------------- extract
@@ -485,6 +500,57 @@ def convert(checkpoint: str, output: Optional[str], opset_version: int, debug: b
             output = os.path.splitext(checkpoint)[0] + ".onnx"
         model.save_onnx(output, opset_version=opset_version)
         click.echo(f"Wrote {output}")
+
+
+# ----------------------------------------------------------- pretrain-embedding
+
+
+@main.command("pretrain-embedding")
+@click.option("--output", "-o", type=click.Path(dir_okay=False), default="embedding-pretrained.npz",
+              show_default=True)
+@click.option("--num-texts", type=int, default=512, show_default=True)
+@click.option("--speakers-per-text", type=int, default=4, show_default=True)
+@click.option("--steps", type=int, default=1000, show_default=True)
+@click.option("--batch-size", type=int, default=64, show_default=True)
+@click.option("--learning-rate", type=float, default=1e-3, show_default=True)
+@click.option("--temperature", type=float, default=0.1, show_default=True)
+@click.option("--tts-backend", type=click.Choice(["vits", "formant"]), default=None)
+@click.option("--seed", type=int, default=0, show_default=True)
+@click.option("--debug/--no-debug", default=False, is_flag=True)
+def pretrain_embedding(
+    output: str,
+    num_texts: int,
+    speakers_per_text: int,
+    steps: int,
+    batch_size: int,
+    learning_rate: float,
+    temperature: float,
+    tts_backend: Optional[str],
+    seed: int,
+    debug: bool,
+) -> None:
+    """Contrastively pre-train the frozen speech-embedding network.
+
+    Two augmented speaker renderings of the same phrase attract, other phrases
+    repel — producing a noise/speaker/room-invariant feature space. Afterwards
+    set HEYBUDDY_EMBEDDING_WEIGHTS to the output file (and regenerate cached
+    features).
+    """
+    from heybuddy_tpu.training.embedding_pretrain import EmbeddingPretrainer
+
+    with _debug(debug):
+        pretrainer = EmbeddingPretrainer(
+            num_texts=num_texts,
+            speakers_per_text=speakers_per_text,
+            batch_size=batch_size,
+            learning_rate=learning_rate,
+            temperature=temperature,
+            tts_backend=tts_backend,
+            seed=seed,
+        )
+        pretrainer.train(steps=steps)
+        pretrainer.save(output)
+        click.echo(f"Wrote {output}; set HEYBUDDY_EMBEDDING_WEIGHTS={output} to use it.")
 
 
 # ----------------------------------------------------------------------- utils

@@ -154,9 +154,12 @@ class NoiseProvider:
         t = np.arange(n) / self.sample_rate
         rt60 = self.rng.uniform(0.1, 0.9)
         envelope = np.exp(-6.9 * t / rt60)
-        ir = self.rng.standard_normal(n).astype(np.float32) * envelope
+        # Direct path dominates; the diffuse tail sits well below it, like
+        # measured room responses (a flat-noise IR would bury the signal).
+        tail_level = self.rng.uniform(0.05, 0.3)
+        ir = tail_level * self.rng.standard_normal(n).astype(np.float32) * envelope
         ir[0] = 1.0
-        return (ir / (np.abs(ir).max() + 1e-9)).astype(np.float32)
+        return ir.astype(np.float32)
 
     # --- public API --------------------------------------------------------------
 

@@ -256,12 +256,15 @@ def export_embedding_net(
     b = _GraphBuilder()
 
     def rms_scale(x: str, hint: str) -> str:
+        # centered RMS normalization, mirroring embedding_net._rms_scale
         axes = b.constant(f"{hint}_axes", np.asarray([-1], dtype=np.int64))
-        sq = b.op("Mul", [x, x], f"{hint}_sq")
+        mean = b.op("ReduceMean", [x, axes], f"{hint}_mean")
+        centered = b.op("Sub", [x, mean], f"{hint}_centered")
+        sq = b.op("Mul", [centered, centered], f"{hint}_sq")
         ms = b.op("ReduceMean", [sq, axes], f"{hint}_ms")
         eps = b.constant(f"{hint}_eps", np.asarray(1e-6, dtype=np.float32))
         rms = b.op("Sqrt", [b.op("Add", [ms, eps], f"{hint}_mse")], f"{hint}_rms")
-        return b.op("Div", [x, rms], f"{hint}_out")
+        return b.op("Div", [centered, rms], f"{hint}_out")
 
     def matmul(x: str, w: np.ndarray, bias: np.ndarray, hint: str) -> str:
         mm = b.op("MatMul", [x, b.constant(f"{hint}_w", w)], f"{hint}_mm")

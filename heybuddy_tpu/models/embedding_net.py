@@ -141,9 +141,18 @@ def _dense(x: jax.Array, p: Dict[str, jax.Array]) -> jax.Array:
 
 
 def _rms_scale(x: jax.Array, eps: float = 1e-6) -> jax.Array:
-    """Cheap RMS normalization (no mean subtraction, no f32 round trip)."""
-    ms = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
-    return (x.astype(jnp.float32) * jax.lax.rsqrt(ms + eps)).astype(x.dtype)
+    """
+    Centered RMS normalization (LayerNorm without affine). Centering matters:
+    log-mel features share a large positive DC component (the ``log/10 + 2``
+    scaling sits around ~2), and without mean subtraction that common mode
+    dominates every normalized patch, collapsing the embedding's input
+    dependence to a few percent.
+    """
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    centered = xf - mean
+    ms = jnp.mean(jnp.square(centered), axis=-1, keepdims=True)
+    return (centered * jax.lax.rsqrt(ms + eps)).astype(x.dtype)
 
 
 def _apply_trunk(params: Params, patches: jax.Array) -> jax.Array:

@@ -150,7 +150,7 @@ def _tanh_distortion(key: jax.Array, audio: jax.Array, cfg: AugmentConfig) -> ja
     gain = 1.0 + 20.0 * amount
     rms_before = _rms(audio)
     distorted = jnp.tanh(audio * gain / (rms_before + 1e-9) * 0.5)
-    return distorted * rms_before / (_rms(distorted) + 1e-9) * 2.0
+    return distorted * rms_before / (_rms(distorted) + 1e-9)
 
 
 def _pitch_shift(key: jax.Array, audio: jax.Array, cfg: AugmentConfig) -> jax.Array:
@@ -165,7 +165,7 @@ def _pitch_shift(key: jax.Array, audio: jax.Array, cfg: AugmentConfig) -> jax.Ar
     )
     ratio = 2.0 ** (semis / 12.0)
     positions = jnp.arange(t, dtype=jnp.float32) * ratio
-    positions = jnp.mod(positions, t - 1.0)
+    positions = jnp.minimum(positions, t - 1.0)
     lower = jnp.floor(positions).astype(jnp.int32)
     frac = positions - lower.astype(jnp.float32)
     upper = jnp.minimum(lower + 1, t - 1)

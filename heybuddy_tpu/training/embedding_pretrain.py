@@ -1,0 +1,210 @@
+"""
+Self-supervised pre-training for the frozen speech-embedding network.
+
+The reference downloads Google's pretrained speech-embedding weights
+(embeddings.py:29-30) and freezes them; this framework cannot assume that
+artifact, so it provides what the reference cannot: a way to *train* the
+embedding space from the framework's own synthesis + augmentation pipeline.
+
+Contrastive objective (NT-Xent): two views of the same utterance — different
+speaker rendering and independent augmentation draws (noise, reverb, EQ,
+placement) — must map to nearby embeddings, while other utterances in the
+batch repel. This bakes exactly the invariances wake-word training needs
+(speaker, gain, noise, room) into the frozen feature space.
+
+Everything after clip synthesis is one jitted TPU step: augment both views ->
+mel -> trunk -> window pooling -> clip embedding -> NT-Xent -> Adam update.
+
+Usage: ``heybuddy pretrain-embedding -o embedding.npz`` then set
+``HEYBUDDY_EMBEDDING_WEIGHTS=embedding.npz`` (regenerate any cached feature
+shards afterwards — the feature space changes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from heybuddy_tpu.constants import CLIP_SAMPLES
+from heybuddy_tpu.models import embedding_net
+from heybuddy_tpu.ops.augment import AugmentConfig, augment_batch
+from heybuddy_tpu.ops.melspec import mel_spectrogram
+from heybuddy_tpu.ops.windows import embedding_window_starts
+from heybuddy_tpu.utils.log import logger
+
+__all__ = ["EmbeddingPretrainer", "nt_xent_loss"]
+
+
+def nt_xent_loss(z1: jax.Array, z2: jax.Array, temperature: float = 0.1) -> jax.Array:
+    """Normalized-temperature cross-entropy over both views (SimCLR)."""
+    z1 = z1 / (jnp.linalg.norm(z1, axis=-1, keepdims=True) + 1e-8)
+    z2 = z2 / (jnp.linalg.norm(z2, axis=-1, keepdims=True) + 1e-8)
+    b = z1.shape[0]
+    z = jnp.concatenate([z1, z2], axis=0)  # (2b, d)
+    logits = (z @ z.T) / temperature
+    logits = logits - 1e9 * jnp.eye(2 * b)  # mask self-similarity
+    labels = jnp.concatenate([jnp.arange(b) + b, jnp.arange(b)])
+    return jnp.mean(
+        -jnp.take_along_axis(jax.nn.log_softmax(logits, axis=-1), labels[:, None], axis=1)
+    )
+
+
+class EmbeddingPretrainer:
+    """Contrastive pre-training driver for the embedding network."""
+
+    def __init__(
+        self,
+        texts: Optional[Sequence[str]] = None,
+        num_texts: int = 512,
+        speakers_per_text: int = 4,
+        batch_size: int = 64,
+        temperature: float = 0.1,
+        learning_rate: float = 1e-3,
+        augment_config: Optional[AugmentConfig] = None,
+        tts_backend: Optional[str] = None,
+        seed: int = 0,
+        config: Optional[embedding_net.EmbeddingNetConfig] = None,
+    ) -> None:
+        self.texts = list(texts) if texts is not None else self._default_texts(num_texts, seed)
+        self.speakers_per_text = speakers_per_text
+        self.batch_size = batch_size
+        self.temperature = temperature
+        self.config = config or embedding_net.EmbeddingNetConfig()
+        # Moderate augmentation for view generation: keep SNRs gentler than the
+        # training chain so positives stay learnable early on.
+        self.augment_config = augment_config or AugmentConfig(
+            background_noise_min_snr_db=0.0,
+            background_noise_max_snr_db=20.0,
+            reverb_prob=0.5,
+        )
+        self.tts_backend = tts_backend
+        self.seed = seed
+        self.rng = np.random.default_rng(seed)
+        self.params = embedding_net.init_params(jax.random.PRNGKey(seed), self.config)
+        self.tx = optax.adam(learning_rate)
+        self.opt_state = self.tx.init(self.params)
+        self._pool: Optional[np.ndarray] = None
+        self._pool_lengths: Optional[np.ndarray] = None
+        self._step_fn = None
+
+    @staticmethod
+    def _default_texts(num_texts: int, seed: int) -> List[str]:
+        """Random 1-3 word phrases from the bundled lexicon."""
+        from heybuddy_tpu.text.wordlist import WORDS
+
+        rng = np.random.default_rng(seed + 7)
+        words = sorted(set(WORDS))
+        texts = []
+        for _ in range(num_texts):
+            n = int(rng.integers(1, 4))
+            texts.append(" ".join(rng.choice(words, size=n, replace=False)))
+        return texts
+
+    def build_clip_pool(self) -> None:
+        """Synthesize speakers_per_text renderings of every text (host side)."""
+        from heybuddy_tpu.models.tts import get_tts_model
+
+        tts = get_tts_model(backend=self.tts_backend)
+        n_texts = len(self.texts)
+        pool = np.zeros((n_texts, self.speakers_per_text, CLIP_SAMPLES), dtype=np.float32)
+        lengths = np.zeros((n_texts, self.speakers_per_text), dtype=np.int32)
+        logger.info(
+            f"Synthesizing clip pool: {n_texts} texts x {self.speakers_per_text} speakers"
+        )
+        for i, text in enumerate(self.texts):
+            samples = tts(
+                [text],
+                num_samples=self.speakers_per_text,
+                batch_size=self.speakers_per_text,
+                seed=self.seed + i,
+            )
+            for j, (_text, pcm) in enumerate(samples):
+                clip = pcm.astype(np.float32) / 32768.0
+                n = min(len(clip), CLIP_SAMPLES)
+                pool[i, j, :n] = clip[:n]
+                lengths[i, j] = n
+        self._pool = pool
+        self._pool_lengths = lengths
+
+    def _build_step(self):
+        starts = embedding_window_starts(CLIP_SAMPLES)
+        cfg = self.config
+        aug_cfg = self.augment_config
+        temperature = self.temperature
+        tx = self.tx
+
+        def clip_embedding(params: Dict[str, Any], audio: jax.Array) -> jax.Array:
+            spec = mel_spectrogram(audio * 32767.0)
+            windows = embedding_net.apply_spectrogram(params, spec, starts, config=cfg)
+            return jnp.mean(windows, axis=1)  # (b, 96) clip-level embedding
+
+        def step(params, opt_state, key, clips1, clips2, lengths1, lengths2, noise, impulse):
+            k1, k2 = jax.random.split(key)
+
+            def loss_fn(p):
+                v1 = augment_batch(k1, clips1, lengths1, noise[0], impulse[0], aug_cfg)
+                v2 = augment_batch(k2, clips2, lengths2, noise[1], impulse[1], aug_cfg)
+                z1 = clip_embedding(p, v1)
+                z2 = clip_embedding(p, v2)
+                return nt_xent_loss(z1, z2, temperature)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, new_opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), new_opt_state, loss
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def train(self, steps: int = 1000, log_every: int = 50) -> Dict[str, Any]:
+        """Run contrastive training; returns the trained parameter pytree."""
+        if self._pool is None:
+            self.build_clip_pool()
+        if self._step_fn is None:
+            self._step_fn = self._build_step()
+        assert self._pool is not None and self._pool_lengths is not None
+
+        from heybuddy_tpu.data.augmented import NoiseProvider
+
+        noise_provider = NoiseProvider(
+            seed=self.seed,
+            use_remote=self.augment_config.background_noise_prob > 0,
+        )
+
+        n_texts, n_spk, _ = self._pool.shape
+        params, opt_state = self.params, self.opt_state
+        losses: List[float] = []
+        for step_idx in range(steps):
+            text_idx = self.rng.choice(n_texts, size=self.batch_size, replace=False)
+            spk = np.stack(
+                [self.rng.choice(n_spk, size=2, replace=n_spk < 2) for _ in range(self.batch_size)]
+            )
+            clips1 = self._pool[text_idx, spk[:, 0]]
+            clips2 = self._pool[text_idx, spk[:, 1]]
+            lengths1 = self._pool_lengths[text_idx, spk[:, 0]]
+            lengths2 = self._pool_lengths[text_idx, spk[:, 1]]
+            noise = np.stack(
+                [noise_provider.noise_batch(self.batch_size) for _ in range(2)]
+            )
+            impulse = np.stack(
+                [noise_provider.impulse_batch(self.batch_size) for _ in range(2)]
+            )
+            key = jax.random.fold_in(jax.random.PRNGKey(self.seed + 13), step_idx)
+            params, opt_state, loss = self._step_fn(
+                params, opt_state, key, clips1, clips2, lengths1, lengths2, noise, impulse
+            )
+            if step_idx % log_every == 0 or step_idx == steps - 1:
+                loss_val = float(np.asarray(loss))
+                losses.append(loss_val)
+                logger.info(f"pretrain step {step_idx}/{steps}: nt-xent loss {loss_val:.4f}")
+
+        self.params = jax.device_get(params)
+        self.opt_state = opt_state
+        return self.params
+
+    def save(self, path: str) -> None:
+        embedding_net.save_params(self.params, path)
+        logger.info(f"Saved pretrained embedding weights to {path}")
