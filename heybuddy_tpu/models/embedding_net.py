@@ -235,15 +235,31 @@ _DEFAULT_PARAMS_CACHE: Dict[int, Params] = {}
 DEFAULT_SEED = 20260816
 
 
+def bundled_weights_path() -> Optional[str]:
+    """Path of the packaged pretrained embedding weights, if shipped."""
+    path = os.path.join(os.path.dirname(__file__), "..", "assets", "embedding-pretrained.npz")
+    path = os.path.abspath(path)
+    return path if os.path.exists(path) else None
+
+
 def default_params(seed: int = DEFAULT_SEED, config: Optional[EmbeddingNetConfig] = None) -> Params:
     """
-    The frozen default parameters. If ``HEYBUDDY_EMBEDDING_WEIGHTS`` points at
-    an npz file (a trained embedding), it is loaded; otherwise a deterministic
-    fixed-seed initialization is used so cached features are reproducible.
+    The frozen default parameters. Resolution order:
+    1. ``HEYBUDDY_EMBEDDING_WEIGHTS`` env (a trained embedding npz);
+    2. the packaged contrastively-pretrained weights
+       (heybuddy_tpu/assets/embedding-pretrained.npz, see
+       training/embedding_pretrain.py);
+    3. deterministic fixed-seed initialization (reproducible cached features).
     """
     env_path = os.environ.get("HEYBUDDY_EMBEDDING_WEIGHTS")
     if env_path and os.path.exists(env_path):
         return load_params(env_path)
+    bundled = bundled_weights_path()
+    if bundled is not None:
+        cache_key = -1
+        if cache_key not in _DEFAULT_PARAMS_CACHE:
+            _DEFAULT_PARAMS_CACHE[cache_key] = load_params(bundled)
+        return _DEFAULT_PARAMS_CACHE[cache_key]
     if seed not in _DEFAULT_PARAMS_CACHE:
         _DEFAULT_PARAMS_CACHE[seed] = init_params(jax.random.PRNGKey(seed), config)
     return _DEFAULT_PARAMS_CACHE[seed]

@@ -167,12 +167,14 @@ def stochastic_duration_reverse(
     b, _, t = x.shape
     z = jax.random.normal(key, (b, 2, t)) * noise_scale
 
-    # flows = reversed([affine, cf0, flip, cf1, flip, cf2, flip, cf3, flip]),
-    # dropping the last flip before the affine ("remove a useless vflow").
+    # VITS reverse quirk (reference models.py:163-166): reversed flow list with
+    # `flows[:-2] + [flows[-1]]` — the FIRST ConvFlow is skipped at inference
+    # ("remove a useless vflow"), i.e. flip3,cf3,flip2,cf2,flip1,cf1,flip0,affine.
     convflows = [layer["convflow"] for layer in p["flows"][1:]]
-    for i, cf in enumerate(reversed(convflows)):
+    for cf in reversed(convflows[1:]):
         z = m.flip_flow(z)
         z, _ = m.convflow(cf, z, x_mask, g=h, reverse=True)
+    z = m.flip_flow(z)
     z, _ = m.elementwise_affine(p["flows"][0]["affine"], z, x_mask, reverse=True)
     return z[:, 0:1]
 
@@ -424,6 +426,35 @@ def import_torch_checkpoint(path: str, config: VitsConfig = VitsConfig()) -> Par
         "cond": conv("dp.cond"),
         "flows": flows,
     }
+
+    # SDP posterior flows (training-only; present in full training checkpoints)
+    if "dp.post_pre.weight" in state:
+        post_flows: List[Params] = [
+            {
+                "affine": {
+                    "m": jnp.asarray(state["dp.post_flows.0.m"]),
+                    "logs": jnp.asarray(state["dp.post_flows.0.logs"]),
+                }
+            }
+        ]
+        for i in range(4):
+            idx = 1 + 2 * i
+            post_flows.append(
+                {
+                    "convflow": {
+                        "pre": conv(f"dp.post_flows.{idx}.pre"),
+                        "convs": ddsconv_import(f"dp.post_flows.{idx}.convs", 3, cfg.kernel_size),
+                        "proj": conv(f"dp.post_flows.{idx}.proj"),
+                        "num_bins": m.Static(10),
+                    }
+                }
+            )
+        params["dp_posterior"] = {
+            "post_pre": conv("dp.post_pre"),
+            "post_proj": conv("dp.post_proj"),
+            "post_convs": ddsconv_import("dp.post_convs", 3, cfg.kernel_size),
+            "post_flows": post_flows,
+        }
 
     # residual coupling flow (even indices are coupling layers, odd are flips)
     params["flow"] = {

@@ -71,6 +71,96 @@ def posterior_encoder(
     return z, m_q, logs_q, y_mask
 
 
+def sdp_posterior_init(
+    key: jax.Array,
+    filter_channels: int = 192,
+    kernel_size: int = 3,
+    n_flows: int = 4,
+) -> Params:
+    """
+    Posterior half of the stochastic duration predictor (reference
+    models.py:79-91: post_pre/post_convs/post_proj/post_flows), needed only
+    for the forward/NLL direction used in training.
+    """
+    keys = jax.random.split(key, 3 + n_flows)
+    return {
+        "post_pre": m.conv1d_init(keys[0], 1, filter_channels, 1),
+        "post_proj": m.conv1d_init(keys[1], filter_channels, filter_channels, 1),
+        "post_convs": m.ddsconv_init(keys[2], filter_channels, kernel_size, 3),
+        "post_flows": [{"affine": m.elementwise_affine_init(2)}]
+        + [
+            {"convflow": m.convflow_init(keys[3 + i], 2, filter_channels, kernel_size, 3)}
+            for i in range(n_flows)
+        ],
+    }
+
+
+def stochastic_duration_nll(
+    dp_params: Params,
+    post_params: Params,
+    key: jax.Array,
+    h: jax.Array,
+    x_mask: jax.Array,
+    durations: jax.Array,
+    g: Optional[jax.Array] = None,
+) -> jax.Array:
+    """
+    SDP forward-direction negative log-likelihood of ``durations`` (b, 1, t_x)
+    — the reference's training branch (models.py:127-162): a variational
+    posterior flow models the dequantization noise u in (0,1), the main spline
+    flows model (d - u, z1), and the loss is nll + logq per batch element.
+    """
+    x = m.conv1d(dp_params["pre"], jax.lax.stop_gradient(h))
+    if g is not None:
+        x = x + m.conv1d(dp_params["cond"], jax.lax.stop_gradient(g))
+    x = m.ddsconv(dp_params["convs"], x, x_mask)
+    x = m.conv1d(dp_params["proj"], x) * x_mask
+
+    w = durations * x_mask
+    h_w = m.conv1d(post_params["post_pre"], w)
+    h_w = m.ddsconv(post_params["post_convs"], h_w, x_mask)
+    h_w = m.conv1d(post_params["post_proj"], h_w) * x_mask
+
+    b, _, t = x.shape
+    e_q = jax.random.normal(key, (b, 2, t)) * x_mask
+    z_q = e_q
+    logdet_tot_q = jnp.zeros((b,))
+    cond_q = x + h_w
+    z_q, logdet = m.elementwise_affine(post_params["post_flows"][0]["affine"], z_q, x_mask)
+    logdet_tot_q = logdet_tot_q + logdet
+    for layer in post_params["post_flows"][1:]:
+        z_q, logdet = m.convflow(layer["convflow"], z_q, x_mask, g=cond_q, reverse=False)
+        logdet_tot_q = logdet_tot_q + logdet
+        z_q = m.flip_flow(z_q)
+
+    z_u, z1 = z_q[:, 0:1], z_q[:, 1:2]
+    u = jax.nn.sigmoid(z_u) * x_mask
+    z0 = (w - u) * x_mask
+    logdet_tot_q = logdet_tot_q + jnp.sum(
+        (jax.nn.log_sigmoid(z_u) + jax.nn.log_sigmoid(-z_u)) * x_mask, axis=(1, 2)
+    )
+    logq = (
+        jnp.sum(-0.5 * (math.log(2 * math.pi) + jnp.square(e_q)) * x_mask, axis=(1, 2))
+        - logdet_tot_q
+    )
+
+    logdet_tot = jnp.zeros((b,))
+    z0, logdet = m.log_flow(z0, x_mask)
+    logdet_tot = logdet_tot + logdet
+    z = jnp.concatenate([z0, z1], axis=1)
+    z, logdet = m.elementwise_affine(dp_params["flows"][0]["affine"], z, x_mask)
+    logdet_tot = logdet_tot + logdet
+    for layer in dp_params["flows"][1:]:
+        z, logdet = m.convflow(layer["convflow"], z, x_mask, g=x, reverse=False)
+        logdet_tot = logdet_tot + logdet
+        z = m.flip_flow(z)
+    nll = (
+        jnp.sum(0.5 * (math.log(2 * math.pi) + jnp.square(z)) * x_mask, axis=(1, 2))
+        - logdet_tot
+    )
+    return nll + logq  # (b,)
+
+
 def rand_slice_segments(
     key: jax.Array, x: jax.Array, lengths: jax.Array, segment_size: int
 ) -> Tuple[jax.Array, jax.Array]:
@@ -142,6 +232,7 @@ def training_forward(
     speaker_embedding: Optional[jax.Array] = None,
     segment_size: int = 32,
     config: VitsConfig = VitsConfig(),
+    sdp_posterior_params: Optional[Params] = None,
 ) -> Dict[str, Any]:
     """
     VITS generator training forward (reference models.py:663-722).
@@ -178,21 +269,27 @@ def training_forward(
 
     durations = jnp.sum(attn, axis=1)[:, None, :]  # (b, 1, t_x)
 
-    # Duration loss: log-domain MSE against the deterministic predictor's
-    # output (the non-SDP branch of reference models.py:703-711); the SDP NLL
-    # variant requires its forward flows and is tracked as future work.
-    logw_target = jnp.log(durations + 1e-6) * x_mask
-    if "dp" in params and "proj" in params["dp"]:
-        h_dur = m.conv1d(params["dp"]["pre"], jax.lax.stop_gradient(h))
-        if g is not None:
-            h_dur = h_dur + m.conv1d(params["dp"]["cond"], jax.lax.stop_gradient(g))
-        h_dur = m.ddsconv(params["dp"]["convs"], h_dur, x_mask)
-        logw_hat = m.conv1d(params["dp"]["proj"], h_dur)[:, :1] * x_mask
+    # Duration loss: the SDP variational NLL when its posterior flows are
+    # provided (reference models.py:127-162 / 703-708), otherwise log-domain
+    # MSE against the deterministic projection (the non-SDP branch, :709-711).
+    if sdp_posterior_params is not None:
+        nll = stochastic_duration_nll(
+            params["dp"], sdp_posterior_params, k_dur, h, x_mask, durations, g
+        )
+        duration_loss = jnp.sum(nll) / jnp.maximum(jnp.sum(x_mask), 1.0)
     else:
-        logw_hat = jnp.zeros_like(logw_target)
-    duration_loss = jnp.sum(jnp.square(logw_hat - logw_target) * x_mask) / jnp.maximum(
-        jnp.sum(x_mask), 1.0
-    )
+        logw_target = jnp.log(durations + 1e-6) * x_mask
+        if "dp" in params and "proj" in params["dp"]:
+            h_dur = m.conv1d(params["dp"]["pre"], jax.lax.stop_gradient(h))
+            if g is not None:
+                h_dur = h_dur + m.conv1d(params["dp"]["cond"], jax.lax.stop_gradient(g))
+            h_dur = m.ddsconv(params["dp"]["convs"], h_dur, x_mask)
+            logw_hat = m.conv1d(params["dp"]["proj"], h_dur)[:, :1] * x_mask
+        else:
+            logw_hat = jnp.zeros_like(jnp.log(durations + 1e-6))
+        duration_loss = jnp.sum(jnp.square(logw_hat - jnp.log(durations + 1e-6) * x_mask) * x_mask) / jnp.maximum(
+            jnp.sum(x_mask), 1.0
+        )
 
     # Expand priors along the alignment.
     m_p_exp = jnp.einsum("byx,bdx->bdy", attn, m_p)

@@ -292,8 +292,16 @@ class WakeWordTrainer:
             pad = x.shape[0] - y.shape[0]
             if pad:
                 y = np.concatenate([y, -np.ones(pad, dtype=np.float32)])
+            y = y.astype(np.float32)
             sharding = batch_sharding(self.mesh)
-            return jax.device_put(x, sharding), jax.device_put(y.astype(np.float32), sharding)
+            if jax.process_count() > 1:
+                # Multi-host: each process holds its local slice of the global
+                # batch (producer threads are per-host); assemble the global
+                # sharded array without cross-host data movement.
+                x_arr = jax.make_array_from_process_local_data(sharding, x)
+                y_arr = jax.make_array_from_process_local_data(sharding, y)
+                return x_arr, y_arr
+            return jax.device_put(x, sharding), jax.device_put(y, sharding)
         return jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32)
 
     # --- checkpointing ------------------------------------------------------------

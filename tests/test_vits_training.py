@@ -86,3 +86,40 @@ def test_training_forward_differentiable():
     assert all(np.isfinite(np.asarray(leaf)).all() for leaf in leaves)
     total = sum(float(np.abs(np.asarray(leaf)).sum()) for leaf in leaves)
     assert total > 0.0
+
+
+def test_sdp_forward_nll_finite_and_differentiable():
+    import jax.numpy as jnp
+    from heybuddy_tpu.models.vits.training import sdp_posterior_init, stochastic_duration_nll
+
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    post = sdp_posterior_init(jax.random.PRNGKey(5), filter_channels=TINY.hidden_channels)
+    rng = np.random.default_rng(0)
+    h = jnp.asarray(rng.normal(size=(2, TINY.hidden_channels, 10)).astype(np.float32))
+    x_mask = jnp.ones((2, 1, 10))
+    durations = jnp.asarray(rng.integers(1, 6, (2, 1, 10)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(2, TINY.gin_channels, 1)).astype(np.float32))
+
+    def loss_fn(dp, q):
+        p = dict(params); p_dp = dict(params["dp"]); p_dp.update(dp)
+        nll = stochastic_duration_nll(p_dp, q, jax.random.PRNGKey(1), h, x_mask, durations, g)
+        return jnp.mean(nll)
+
+    loss = loss_fn(params["dp"], post)
+    assert np.isfinite(float(loss))
+    grads = jax.grad(loss_fn, argnums=(0, 1))(params["dp"], post)
+    leaves = jax.tree.leaves(grads)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert sum(float(np.abs(np.asarray(l)).sum()) for l in leaves) > 0
+
+
+def test_training_forward_with_sdp_nll():
+    from heybuddy_tpu.models.vits.training import sdp_posterior_init
+
+    params, post, ids, id_lengths, spec, spec_lengths, spk = _tiny_setup()
+    sdp_post = sdp_posterior_init(jax.random.PRNGKey(9), filter_channels=TINY.hidden_channels)
+    out = training_forward(
+        params, post, jax.random.PRNGKey(3), ids, id_lengths, spec, spec_lengths, spk,
+        segment_size=8, config=TINY, sdp_posterior_params=sdp_post,
+    )
+    assert np.isfinite(float(out["duration_loss"]))
