@@ -274,10 +274,16 @@ class WakeWordTrainingDatasetIterator(TrainingDatasetIterator):
         kwargs.setdefault("positive_samples", DEFAULT_TESTING_POSITIVE_SAMPLES)
         kwargs.setdefault("adversarial_samples", DEFAULT_TESTING_ADVERSARIAL_SAMPLES)
         kwargs.setdefault("negative_batch_size", 0)
-        kwargs.setdefault("max_samples", None)
-        max_samples = kwargs.pop("max_samples")
+        max_samples = kwargs.pop("max_samples", None)
         iterator = cls.default(phrase, testing=True, **kwargs)
-        iterator.max_samples = max_samples if max_samples is not None else 1
+        if max_samples is None:
+            # one full pass over the testing set per eval (reference training.py:624-627)
+            max_samples = max(
+                kwargs["positive_samples"] // kwargs.get("positive_batch_size", DEFAULT_POSITIVE_BATCH_SIZE),
+                kwargs["adversarial_samples"] // kwargs.get("adversarial_batch_size", DEFAULT_ADVERSARIAL_BATCH_SIZE),
+                1,
+            )
+        iterator.max_samples = max_samples
         return iterator
 
     @classmethod
@@ -306,7 +312,13 @@ class WakeWordTrainingDatasetIterator(TrainingDatasetIterator):
             positive=positive_specs,
             negative=negative_specs,
         )
-        iterator.max_samples = 1
+        # one full pass over the validation set per eval (reference training.py:697-700)
+        negative_count = len(negative_specs[0][0]) if negative_specs else 0
+        iterator.max_samples = max(
+            negative_count // max(negative_batch_size, 1),
+            validation_samples // max(positive_batch_size, 1),
+            1,
+        )
         return iterator
 
     @classmethod
