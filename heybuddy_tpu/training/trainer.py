@@ -125,9 +125,11 @@ class WakeWordTrainer:
         use_half_layers: bool = DEFAULT_USE_HALF_LAYERS,
         seed: int = 0,
         mesh: Optional[Any] = None,
+        checkpoint_backend: str = "npz",
         **model_kwargs: Any,
     ) -> None:
         self.checkpoint_dir = os.path.abspath(checkpoint_dir)
+        self.checkpoint_backend = checkpoint_backend
         os.makedirs(self.checkpoint_dir, exist_ok=True)
         self.learning_rate = learning_rate
         self.architecture = architecture
@@ -307,7 +309,12 @@ class WakeWordTrainer:
     # --- checkpointing ------------------------------------------------------------
 
     def save_checkpoint(self, name: str, optimizer: bool = True) -> None:
-        """Model npz + optimizer pickle + trainer-state json (reference trainer.py:186-198)."""
+        """
+        Model npz + optimizer pickle + trainer-state json (reference
+        trainer.py:186-198). When the trainer was built with
+        ``checkpoint_backend="orbax"``, an Orbax checkpoint directory is
+        written as well — the multi-host-safe production format.
+        """
         model_path = os.path.join(self.checkpoint_dir, f"{name}.npz")
         save_model(self.model, model_path)
         if optimizer:
@@ -321,6 +328,37 @@ class WakeWordTrainer:
         }
         with open(os.path.join(self.checkpoint_dir, f"{name}_state.json"), "w") as f:
             json.dump(state, f)
+        if self.checkpoint_backend == "orbax":
+            self._save_orbax(name)
+
+    def _save_orbax(self, name: str) -> None:
+        try:
+            import orbax.checkpoint as ocp
+
+            path = os.path.join(self.checkpoint_dir, f"{name}_orbax")
+            checkpointer = ocp.StandardCheckpointer()
+            payload = {
+                "params": jax.device_get(self.model.params),
+                "opt_state": jax.device_get(self.opt_state),
+            }
+            checkpointer.save(os.path.abspath(path), payload, force=True)
+            checkpointer.wait_until_finished()
+        except Exception as ex:
+            logger.warning(f"Orbax checkpoint failed ({ex}); npz checkpoint still written")
+
+    def resume_orbax(self, name: str) -> None:
+        """Restore params + optimizer state from an Orbax checkpoint directory."""
+        import orbax.checkpoint as ocp
+
+        path = os.path.join(self.checkpoint_dir, f"{name}_orbax")
+        checkpointer = ocp.StandardCheckpointer()
+        template = {
+            "params": jax.device_get(self.model.params),
+            "opt_state": jax.device_get(self.opt_state),
+        }
+        restored = checkpointer.restore(os.path.abspath(path), template)
+        self.model.params = restored["params"]
+        self.opt_state = restored["opt_state"]
 
     def resume(self, name: str) -> None:
         """

@@ -111,3 +111,20 @@ def test_dynamic_negative_weight_adjusts(tmp_path):
         learning_rate=0.0,  # keep the model near init so FPs persist
     )
     assert history["negative_weight"].max() >= 2.0
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    trainer = WakeWordTrainer(checkpoint_dir=str(tmp_path), num_layers=1,
+                              checkpoint_backend="orbax")
+    trainer.train_epoch(ToyIterator(), num_steps=6, validation_steps=100, checkpoint_steps=1000)
+    trainer.save_checkpoint("orbax-test")
+    assert (tmp_path / "orbax-test_orbax").exists()
+
+    restored = WakeWordTrainer(checkpoint_dir=str(tmp_path), num_layers=1,
+                               checkpoint_backend="orbax")
+    restored.resume_orbax("orbax-test")
+    x = np.random.default_rng(0).normal(size=(2, 16, 96)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(trainer.model(x)), np.asarray(restored.model(x)), atol=1e-6
+    )
