@@ -10,10 +10,7 @@ device augmentation, mesh-sharded training).
 from __future__ import annotations
 
 import glob
-import json
 import os
-import sys
-import time
 from typing import Any, List, Optional, Tuple
 
 import click

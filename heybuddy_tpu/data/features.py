@@ -22,7 +22,7 @@ from typing import Any, Dict, Iterator, List, Optional, Union
 
 import numpy as np
 
-from heybuddy_tpu.constants import CLIP_SAMPLES, DEFAULT_FEATURE_BATCH_SIZE, SAMPLE_RATE
+from heybuddy_tpu.constants import DEFAULT_FEATURE_BATCH_SIZE
 from heybuddy_tpu.data.augmented import AugmentedAudioGenerator, NoiseProvider
 from heybuddy_tpu.data.precalculated import PrecalculatedDatasetIterator, get_default_dataset_dir
 from heybuddy_tpu.data.tts_generator import SpeechSampleGenerator

@@ -14,12 +14,11 @@ from __future__ import annotations
 import os
 import re
 import threading
-from typing import Any, Dict, Iterator, List, Optional, Set
+from typing import Any, Dict, Iterator, Optional, Set
 
 import numpy as np
 
 from heybuddy_tpu.utils.downloads import check_download_file, get_cache_dir
-from heybuddy_tpu.utils.log import logger
 
 __all__ = [
     "PrecalculatedDatasetIterator",

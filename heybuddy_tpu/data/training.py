@@ -13,7 +13,6 @@ double-buffered host->HBM ingestion queue.
 
 from __future__ import annotations
 
-import os
 import queue
 import threading
 from typing import Any, Dict, Iterator, List, Optional, Tuple, Union

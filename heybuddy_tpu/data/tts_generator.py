@@ -24,7 +24,6 @@ from heybuddy_tpu.constants import (
     DEFAULT_TTS_SLERP_WEIGHTS,
     SAMPLE_RATE,
 )
-from heybuddy_tpu.utils.log import logger
 
 __all__ = ["SpeechSampleGenerator"]
 

@@ -24,11 +24,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from heybuddy_tpu.constants import CLIP_SAMPLES, SAMPLE_RATE
+from heybuddy_tpu.constants import SAMPLE_RATE
 from heybuddy_tpu.models import embedding_net
 from heybuddy_tpu.models.embedding_net import EmbeddingNetConfig, Params
 from heybuddy_tpu.ops.melspec import mel_spectrogram
-from heybuddy_tpu.ops.windows import embedding_window_starts, extract_windows
+from heybuddy_tpu.ops.windows import embedding_window_starts
 from heybuddy_tpu.utils.audio_io import audio_to_bct_array
 from heybuddy_tpu.utils.log import logger
 

@@ -7,7 +7,6 @@ window_size=4 relative key/value embeddings, conv FFN with ReLU, post-norm).
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

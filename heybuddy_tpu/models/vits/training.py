@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from heybuddy_tpu.models.vits import modules as m
-from heybuddy_tpu.models.vits.synthesizer import VitsConfig, generate_path, text_encoder
+from heybuddy_tpu.models.vits.synthesizer import VitsConfig, text_encoder
 from heybuddy_tpu.ops.monotonic_align import maximum_path
 
 Params = Dict[str, Any]

@@ -19,7 +19,7 @@ center=False, ``n_frames = (t - 512)//160 + 1`` which equals the reference's
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,6 @@ inputs; callers fall back to the XLA path otherwise.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

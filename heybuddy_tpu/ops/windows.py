@@ -30,7 +30,6 @@ from heybuddy_tpu.constants import (
     EMBEDDING_WINDOW_SIZE,
     EMBEDDING_WINDOW_STRIDE,
     MEL_HOP_LENGTH,
-    MEL_N_FFT,
 )
 from heybuddy_tpu.ops.melspec import num_frames
 

@@ -20,8 +20,7 @@ creating the mesh.
 from __future__ import annotations
 
 import functools
-import os
-from typing import Any, Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import numpy as np

@@ -32,7 +32,6 @@ import json
 import os
 import pickle
 import time
-from functools import partial
 from typing import Any, Callable, Dict, List, Optional, Tuple, Union
 
 import jax
