@@ -172,6 +172,10 @@ class EmbeddingPretrainer:
             seed=self.seed,
             use_remote=self.augment_config.background_noise_prob > 0,
         )
+        # Pre-built banks: per-step synthetic-noise generation would otherwise
+        # dominate host time; sampling rows from fixed banks is free.
+        noise_bank = noise_provider.noise_batch(256)
+        impulse_bank = noise_provider.impulse_batch(64)
 
         n_texts, n_spk, _ = self._pool.shape
         params, opt_state = self.params, self.opt_state
@@ -185,12 +189,8 @@ class EmbeddingPretrainer:
             clips2 = self._pool[text_idx, spk[:, 1]]
             lengths1 = self._pool_lengths[text_idx, spk[:, 0]]
             lengths2 = self._pool_lengths[text_idx, spk[:, 1]]
-            noise = np.stack(
-                [noise_provider.noise_batch(self.batch_size) for _ in range(2)]
-            )
-            impulse = np.stack(
-                [noise_provider.impulse_batch(self.batch_size) for _ in range(2)]
-            )
+            noise = noise_bank[self.rng.integers(0, len(noise_bank), (2, self.batch_size))]
+            impulse = impulse_bank[self.rng.integers(0, len(impulse_bank), (2, self.batch_size))]
             key = jax.random.fold_in(jax.random.PRNGKey(self.seed + 13), step_idx)
             params, opt_state, loss = self._step_fn(
                 params, opt_state, key, clips1, clips2, lengths1, lengths2, noise, impulse
