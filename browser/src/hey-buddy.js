@@ -140,8 +140,11 @@ export class HeyBuddy {
 
     const spectrogram = await this.spectrogram.execute(window);
     const embeddings = await this.embedding.execute(spectrogram);
-    // Keep only the newest embeddings that the stride produced since last frame.
-    for (const emb of embeddings.slice(-2)) {
+    // Push ALL embeddings from this 1.08 s window (4 at stride 8). The frame
+    // interval (0.12 s = 1920 samples) equals the training pipeline's
+    // audio-window stride, so a 16-deep buffer of 4-embedding groups exactly
+    // reproduces the training feature layout (ops/windows.py start plan).
+    for (const emb of embeddings) {
       this.embeddingBuffer.push(emb);
     }
     if (this.embeddingBuffer.length > this.embeddingFrames) {

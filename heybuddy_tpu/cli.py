@@ -278,6 +278,9 @@ def combine(
 @click.option("--adversarial-phrase-custom", type=str, default=None, multiple=True)
 @click.option("--positive-batch-size", type=int, default=DEFAULT_POSITIVE_BATCH_SIZE)
 @click.option("--negative-batch-size", type=int, default=DEFAULT_NEGATIVE_BATCH_SIZE)
+@click.option("--synthetic-negative-samples", type=int, default=0, show_default=True,
+              help="Synthesize this many ordinary-speech negatives (offline substitute "
+                   "for the hosted precalculated negative sets).")
 @click.option("--adversarial-batch-size", type=int, default=DEFAULT_ADVERSARIAL_BATCH_SIZE)
 @click.option("--num-batch-threads", type=int, default=DEFAULT_BATCH_THREADS)
 @click.option("--validation-positive-batch-size", type=int, default=DEFAULT_VALIDATION_POSITIVE_BATCH_SIZE)
@@ -348,6 +351,7 @@ def train(phrase: str, **kwargs: Any) -> None:
             ),
             num_batch_threads=kwargs.pop("num_batch_threads"),
             large_negative_dataset=training_default_size in ("large", "full"),
+            synthetic_negative_samples=kwargs.pop("synthetic_negative_samples"),
             **feature_kwargs,
         )
         if training_dataset_path is not None:

@@ -283,3 +283,56 @@ class TrainingFeaturesGenerator:
         return self._get_features(
             num_samples, adversarial=False, testing=False, validation=True
         )
+
+    def get_negative_speech_features(
+        self,
+        num_samples: int,
+        num_texts: int = 400,
+        seed: Optional[int] = None,
+    ) -> PrecalculatedDatasetIterator:
+        """
+        Ordinary-speech negatives synthesized from random phrases (wake-phrase
+        words excluded). Fills the role of the hosted precalculated negative
+        sets (reference precalculated.py:621-649) in air-gapped deployments:
+        without speech negatives the classifier only separates the wake phrase
+        from its phonetic adversaries and false-accepts arbitrary speech.
+
+        Cached independently of the wake phrase (shared across models).
+        """
+        seed = self.seed if seed is None else seed
+        name = f"negative-speech-{num_texts}-{seed}"
+        os.makedirs(self.directory, exist_ok=True)
+        path = os.path.join(self.directory, f"{name}.npy")
+        store = AppendableNpyFile(path)
+        existing = len(store)
+        if existing < num_samples:
+            from heybuddy_tpu.data.tts_generator import SpeechSampleGenerator
+            from heybuddy_tpu.text.wordlist import WORDS
+
+            rng = np.random.default_rng(seed + 101)
+            wake_words = set(self.phrase_key.lower().split())
+            vocabulary = sorted(set(WORDS) - wake_words)
+            texts: List[str] = []
+            for _ in range(num_texts):
+                n = int(rng.integers(1, 5))
+                texts.append(" ".join(rng.choice(vocabulary, size=n, replace=False)))
+
+            missing = num_samples - existing
+            logger.info(f"Generating {missing} negative-speech features for '{name}'")
+            speech = SpeechSampleGenerator(
+                texts[0],
+                additional_phrases=texts[1:],
+                batch_size=self.tts_batch_size,
+                seed=seed + existing,
+                tts_backend=self.tts_backend,
+                **{
+                    k: v
+                    for k, v in self.generator_kwargs.items()
+                    if k not in ("custom_adversarial_texts", "num_adversarial_texts")
+                },
+            )
+            self._featurize_stream(
+                speech(missing), pad_only=False, store=store, limit=missing,
+                seed_offset=existing + 5000,
+            )
+        return PrecalculatedDatasetIterator(name, directory=self.directory, seed=seed)

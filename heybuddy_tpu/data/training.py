@@ -234,6 +234,7 @@ class WakeWordTrainingDatasetIterator(TrainingDatasetIterator):
         negative_batch_size: int = DEFAULT_NEGATIVE_BATCH_SIZE,
         num_batch_threads: int = DEFAULT_BATCH_THREADS,
         large_negative_dataset: bool = False,
+        synthetic_negative_samples: int = 0,
         testing: bool = False,
         **feature_kwargs: Any,
     ) -> "WakeWordTrainingDatasetIterator":
@@ -262,6 +263,15 @@ class WakeWordTrainingDatasetIterator(TrainingDatasetIterator):
             negative = cls._hosted_negative(phrase, large=large_negative_dataset)
             if negative is not None:
                 negative_specs.append((negative, negative_batch_size))
+            elif synthetic_negative_samples <= 0:
+                logger.warning(
+                    "No ordinary-speech negatives available; the model will only "
+                    "separate the wake phrase from its phonetic adversaries. "
+                    "Use --synthetic-negative-samples for offline FP control."
+                )
+        if synthetic_negative_samples > 0 and not testing:
+            synthetic = generator.get_negative_speech_features(synthetic_negative_samples)
+            negative_specs.append((synthetic, max(negative_batch_size, adversarial_batch_size)))
         return cls(
             num_batch_threads=num_batch_threads,
             positive=positive_specs,

@@ -188,13 +188,17 @@ class WakeWordInferenceMixin:
 
         frames = embeddings.shape[1]
         if frames > FEATURE_FRAMES:
-            # Longer clips: slide the classifier's 16-frame context over the
-            # embedding sequence and take the max score — the same semantics
-            # as the browser runtime's sliding 16-embedding buffer
-            # (reference src/ts/src/hey-buddy.ts:404-413).
-            k = frames - FEATURE_FRAMES + 1
+            # Longer clips: every 4 consecutive embeddings come from one
+            # 1.08 s audio window (the featurizer emits 4 per window); a
+            # 16-embedding context therefore corresponds to 4 consecutive
+            # audio windows — exactly the training feature layout. Slide that
+            # context in 4-embedding (one audio window / 0.12 s) steps and
+            # take the max, matching the browser runtime's buffer.
+            step = 4
+            k = (frames - FEATURE_FRAMES) // step + 1
             windows = np.stack(
-                [embeddings[:, i : i + FEATURE_FRAMES] for i in range(k)], axis=1
+                [embeddings[:, i * step : i * step + FEATURE_FRAMES] for i in range(k)],
+                axis=1,
             )  # (n, k, 16, 96)
             flat_scores = np.asarray(self(windows.reshape(n * k, FEATURE_FRAMES, -1)))
             return flat_scores.reshape(n, k).max(axis=1)
