@@ -78,3 +78,38 @@ def test_batched_equals_single():
     for i in range(3):
         single = np.asarray(mel_spectrogram(jnp.asarray(audio[i][None])))[0]
         np.testing.assert_allclose(batched[i], single, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_mel_kernel_interpret_matches_xla():
+    """Pallas fused mel kernel (interpreter mode) vs the XLA path."""
+    import jax
+
+    from heybuddy_tpu.ops.pallas.melspec_kernel import fused_mel_spectrogram, supports_fused
+
+    assert supports_fused(23040)
+    rng = np.random.default_rng(5)
+    audio = jnp.asarray(rng.normal(0, 1000.0, (4, 23040)).astype(np.float32))
+    fused = np.asarray(fused_mel_spectrogram(audio, interpret=True))
+    ref = np.asarray(mel_spectrogram(audio))
+    np.testing.assert_allclose(fused, ref, atol=5e-3, rtol=1e-4)
+
+
+def test_fused_embedding_kernel_interpret_matches_xla():
+    """Pallas fused trunk+pool kernel (interpreter mode) vs apply_spectrogram."""
+    import jax
+    import jax.numpy as jnp2
+
+    from heybuddy_tpu.models import embedding_net
+    from heybuddy_tpu.ops.pallas.embedding_kernel import fused_embedding_windows
+    from heybuddy_tpu.ops.windows import embedding_window_starts
+
+    params = embedding_net.default_params()
+    rng = np.random.default_rng(6)
+    audio = jnp.asarray(rng.normal(0, 1000.0, (4, 23040)).astype(np.float32))
+    spec = mel_spectrogram(audio)
+    starts = embedding_window_starts(23040)
+    ref = np.asarray(
+        embedding_net.apply_spectrogram(params, spec, starts, compute_dtype=jnp2.float32)
+    )
+    fused = np.asarray(fused_embedding_windows(params, spec, starts, interpret=True))
+    np.testing.assert_allclose(fused, ref, atol=5e-4, rtol=1e-3)
