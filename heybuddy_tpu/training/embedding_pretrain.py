@@ -68,6 +68,7 @@ class EmbeddingPretrainer:
         tts_backend: Optional[str] = None,
         seed: int = 0,
         config: Optional[embedding_net.EmbeddingNetConfig] = None,
+        init_weights: Optional[str] = None,
     ) -> None:
         self.texts = list(texts) if texts is not None else self._default_texts(num_texts, seed)
         self.speakers_per_text = speakers_per_text
@@ -84,7 +85,11 @@ class EmbeddingPretrainer:
         self.tts_backend = tts_backend
         self.seed = seed
         self.rng = np.random.default_rng(seed)
-        self.params = embedding_net.init_params(jax.random.PRNGKey(seed), self.config)
+        if init_weights is not None:
+            self.params = embedding_net.load_params(init_weights)
+            logger.info(f"Warm-starting pretraining from {init_weights}")
+        else:
+            self.params = embedding_net.init_params(jax.random.PRNGKey(seed), self.config)
         self.tx = optax.adam(learning_rate)
         self.opt_state = self.tx.init(self.params)
         self._pool: Optional[np.ndarray] = None
