@@ -220,7 +220,7 @@ class PrecalculatedTrainingDatasetLarge(HostedPrecalculatedDatasetIterator):
 
     dataset_url = (
         "https://huggingface.co/datasets/benjamin-paine/hey-buddy/resolve/main/"
-        "precalculated/training-large.npy"
+        "precalculated/common/training-large.npy"
     )
 
     def __init__(self, **kwargs: Any) -> None:
@@ -233,7 +233,7 @@ class PrecalculatedTrainingDatasetMedium(HostedPrecalculatedDatasetIterator):
 
     dataset_url = (
         "https://huggingface.co/datasets/benjamin-paine/hey-buddy/resolve/main/"
-        "precalculated/training-medium.npy"
+        "precalculated/common/training-medium.npy"
     )
 
     def __init__(self, **kwargs: Any) -> None:
@@ -246,7 +246,7 @@ class PrecalculatedValidationDataset(HostedPrecalculatedDatasetIterator):
 
     dataset_url = (
         "https://huggingface.co/datasets/benjamin-paine/hey-buddy/resolve/main/"
-        "precalculated/validation.npy"
+        "precalculated/common/validation.npy"
     )
 
     def __init__(self, **kwargs: Any) -> None:
