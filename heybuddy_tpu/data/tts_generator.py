@@ -112,6 +112,37 @@ class SpeechSampleGenerator:
 
         return [(u, 1.0) for u in unaugmented] + augmented
 
+    def to_hf_dataset(self, num_samples: int) -> Any:
+        """
+        Materialize samples as a HuggingFace ``datasets.Dataset`` with an Audio
+        feature column (reference dataset/generator.py:53-101 bridge).
+        """
+        from datasets import Dataset, Features, Sequence, Value
+
+        # Plain float sequence instead of the Audio feature type (whose codec
+        # encoding needs torchcodec); consumers read sample["audio"]["array"].
+        features = Features(
+            {
+                "audio": {
+                    "array": Sequence(Value("float32")),
+                    "sampling_rate": Value("int32"),
+                },
+                "phrase": Value("string"),
+            }
+        )
+
+        def generate() -> Iterator[Dict[str, Any]]:
+            for sample in self(num_samples):
+                yield {
+                    "audio": {
+                        "array": np.asarray(sample["audio"]["array"], dtype=np.float32),
+                        "sampling_rate": sample["audio"]["sampling_rate"],
+                    },
+                    "phrase": sample["phrase"],
+                }
+
+        return Dataset.from_generator(generate, features=features)
+
     def __call__(self, num_samples: int, **kwargs: Any) -> Iterator[Dict[str, Any]]:
         """Yield ``{"audio": {"array", "sampling_rate"}, "phrase"}`` samples."""
         texts = self.get_texts()
