@@ -28,10 +28,22 @@ import numpy as np
 REFERENCE_CLIPS_PER_SEC_ESTIMATE = 1000.0
 
 
+def _enable_compilation_cache() -> None:
+    try:
+        from heybuddy_tpu.utils.downloads import get_cache_dir
+
+        jax.config.update("jax_compilation_cache_dir", get_cache_dir("xla-cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main() -> None:
     from heybuddy_tpu.constants import CLIP_SAMPLES
     from heybuddy_tpu.models import embedding_net
     from heybuddy_tpu.models.featurizer import featurize_batch
+
+    _enable_compilation_cache()
 
     batch = 2048
     iters = 10
@@ -53,12 +65,15 @@ def main() -> None:
     for _ in range(3):
         fetch(fn(params, audio))
 
-    start = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = fn(params, audio)
-    fetch(out)
-    elapsed = time.perf_counter() - start
+    # Best of 3 measurement rounds: remote-tunnel dispatch latency is noisy.
+    elapsed = float("inf")
+    for _ in range(3):
+        start = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = fn(params, audio)
+        fetch(out)
+        elapsed = min(elapsed, time.perf_counter() - start)
 
     n_chips = jax.device_count()
     clips_per_sec_per_chip = (batch * iters) / elapsed / n_chips
