@@ -337,6 +337,11 @@ def train(phrase: str, **kwargs: Any) -> None:
 
         training_default_size = kwargs.pop("training_default_size") or "medium"
         training_dataset_path = kwargs.pop("training_dataset")
+        negative_batch_size = kwargs.pop("negative_batch_size")
+        if training_default_size == "none":
+            # No hosted negative set at all — even when a custom
+            # --training-dataset is supplied (it is appended separately below).
+            negative_batch_size = 0
 
         training = WakeWordTrainingDatasetIterator.default(
             phrase_arg,
@@ -345,10 +350,7 @@ def train(phrase: str, **kwargs: Any) -> None:
             adversarial_phrases=kwargs.pop("adversarial_phrases"),
             positive_batch_size=kwargs.pop("positive_batch_size"),
             adversarial_batch_size=kwargs.pop("adversarial_batch_size"),
-            negative_batch_size=(
-                0 if training_default_size == "none" and training_dataset_path is None
-                else kwargs.pop("negative_batch_size")
-            ),
+            negative_batch_size=negative_batch_size,
             num_batch_threads=kwargs.pop("num_batch_threads"),
             large_negative_dataset=training_default_size in ("large", "full"),
             synthetic_negative_samples=kwargs.pop("synthetic_negative_samples"),

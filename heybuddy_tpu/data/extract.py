@@ -127,6 +127,11 @@ class LabeledFeatureExtractor:
                 kept_tokens = [t for t, k in zip(tokens, keep) if k]
             else:
                 kept_tokens = tokens
+            if not kept_tokens:
+                # Every feature in the batch was NaN — drop the batch rather
+                # than crash the whole extraction on np.stack([]).
+                clips, tokens = [], []
+                return
             token_rows = np.stack(kept_tokens).astype(np.float32)[:, None, :]
             labeled = np.concatenate([feats, token_rows], axis=1)  # (n, 17, 96)
             if shard is None:

@@ -250,4 +250,8 @@ class PrecalculatedValidationDataset(HostedPrecalculatedDatasetIterator):
     )
 
     def __init__(self, **kwargs: Any) -> None:
+        # The hosted validation.npy is labeled [n,17,96] like all hosted sets
+        # (reference precalculated.py:576 defaults precalculated_labeled=True);
+        # without this, 17x96 rows leak through and batch concat fails.
+        kwargs.setdefault("labeled", True)
         super().__init__("validation", **kwargs)

@@ -273,7 +273,10 @@ class WakeWordTrainer:
 
         def evaluate(params: Params, x: jax.Array, y: jax.Array) -> Dict[str, jax.Array]:
             preds = apply_fn(params, x, train=False)[:, 0]
-            fp = jnp.sum((y - preds) <= -activation_threshold).astype(jnp.float32)
+            # Mesh padding fills labels with -1; count FPs only over true
+            # negatives (y == 0) so padded rows never inflate fp_per_hour and
+            # trip the dynamic negative-weight controller.
+            fp = jnp.sum((y == 0) & (preds >= activation_threshold)).astype(jnp.float32)
             tp = jnp.sum((y == 1) & (preds > activation_threshold)).astype(jnp.float32)
             fn = jnp.sum((y == 1) & (preds <= activation_threshold)).astype(jnp.float32)
             tn = jnp.sum((y == 0) & (preds < activation_threshold)).astype(jnp.float32)
@@ -307,13 +310,20 @@ class WakeWordTrainer:
 
     # --- checkpointing ------------------------------------------------------------
 
-    def save_checkpoint(self, name: str, optimizer: bool = True) -> None:
+    def save_checkpoint(
+        self, name: str, optimizer: bool = True, step: Optional[int] = None
+    ) -> None:
         """
         Model npz + optimizer pickle + trainer-state json (reference
         trainer.py:186-198). When the trainer was built with
         ``checkpoint_backend="orbax"``, an Orbax checkpoint directory is
         written as well — the multi-host-safe production format.
+
+        ``step`` records the in-progress step of the current stage so resume
+        can fast-forward; when omitted the resumed/initial step is kept.
         """
+        if step is not None:
+            self.start_step = step
         model_path = os.path.join(self.checkpoint_dir, f"{name}.npz")
         save_model(self.model, model_path)
         if optimizer:
@@ -462,7 +472,15 @@ class WakeWordTrainer:
         log_every = max(1, num_steps // 20)
         epoch_start = time.perf_counter()
 
-        for step, (x_np, y_np) in enumerate(training):
+        # Resume mid-stage: continue the step counter (and thus LR schedule)
+        # where the restored checkpoint left off, then clear it so subsequent
+        # stages start from 0.
+        first_step = self.start_step
+        self.start_step = 0
+        if first_step:
+            logger.info(f"Resuming stage at step {first_step}/{num_steps}")
+
+        for step, (x_np, y_np) in enumerate(training, start=first_step):
             if step >= num_steps:
                 break
             lr = get_learning_rate(
@@ -543,7 +561,7 @@ class WakeWordTrainer:
             if step > 0 and step % checkpoint_steps == 0:
                 self.model.params = jax.device_get(params)
                 self.opt_state = opt_state
-                self.save_checkpoint(f"{name}_{step}")
+                self.save_checkpoint(f"{name}_{step}", step=step)
 
             if log_callback is not None and (
                 step == 0 or step % logging_steps == 0 or ran_eval or step == num_steps - 1

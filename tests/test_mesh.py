@@ -58,3 +58,10 @@ def test_trainer_with_mesh_converges(tmp_path, cpu_mesh):
     )
     assert history["loss"][-1] < history["loss"][0]
     assert max(history["recall"][-10:]) > 0.8
+
+
+def test_dryrun_multichip_in_process():
+    """The driver-facing dryrun payload passes on the virtual 8-device mesh."""
+    from heybuddy_tpu.parallel.dryrun import run
+
+    run(8)

@@ -128,3 +128,38 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(trainer.model(x)), np.asarray(restored.model(x)), atol=1e-6
     )
+
+
+def test_eval_ignores_mesh_padding_rows(tmp_path):
+    """Padded labels (y=-1) must not count as false positives (ADVICE r1)."""
+    trainer = WakeWordTrainer(checkpoint_dir=str(tmp_path), num_layers=0)
+    eval_fn = trainer._build_eval(activation_threshold=0.5)
+    x = np.random.default_rng(3).normal(size=(8, 16, 96)).astype(np.float32)
+    y = np.array([1, 1, 0, 0, -1, -1, -1, -1], dtype=np.float32)
+    out = eval_fn(trainer.model.params, x, y)
+    # Whatever the model predicts, padded rows contribute to nothing.
+    assert float(out["n_neg"]) == 2.0
+    assert float(out["fp"]) <= 2.0
+    assert float(out["tp"]) + float(out["fn"]) == 2.0
+
+
+def test_checkpoint_records_current_step_and_resume_fast_forwards(tmp_path):
+    """Mid-stage checkpoints record the live step; resume continues there."""
+    trainer = WakeWordTrainer(checkpoint_dir=str(tmp_path), num_layers=1)
+    trainer.train_epoch(
+        ToyIterator(), num_steps=8, validation_steps=100, checkpoint_steps=5, name="step"
+    )
+    import json, os
+
+    with open(os.path.join(str(tmp_path), "step_5_state.json")) as f:
+        assert json.load(f)["step"] == 5
+
+    resumed = WakeWordTrainer(checkpoint_dir=str(tmp_path), num_layers=1)
+    resumed.resume("step")
+    assert resumed.start_step == 5
+    history = resumed.train_epoch(
+        ToyIterator(), num_steps=8, validation_steps=100, checkpoint_steps=1000
+    )
+    # Only the remaining 3 steps run, and the resumed counter is consumed.
+    assert len(history["loss"]) == 3
+    assert resumed.start_step == 0
