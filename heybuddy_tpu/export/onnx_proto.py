@@ -35,13 +35,33 @@ __all__ = [
 
 # onnx TensorProto.DataType
 FLOAT = 1
+UINT8 = 2
+INT8 = 3
+INT16 = 5
+INT32 = 6
 INT64 = 7
+BOOL = 9
+FLOAT16 = 10
+DOUBLE = 11
+
+_DTYPE_BY_DATA_TYPE = {
+    FLOAT: np.dtype(np.float32),
+    UINT8: np.dtype(np.uint8),
+    INT8: np.dtype(np.int8),
+    INT16: np.dtype(np.int16),
+    INT32: np.dtype(np.int32),
+    INT64: np.dtype(np.int64),
+    BOOL: np.dtype(np.bool_),
+    FLOAT16: np.dtype(np.float16),
+    DOUBLE: np.dtype(np.float64),
+}
 
 # AttributeProto.AttributeType
 ATTR_FLOAT = 1
 ATTR_INT = 2
 ATTR_STRING = 3
 ATTR_TENSOR = 4
+ATTR_GRAPH = 5
 ATTR_FLOATS = 6
 ATTR_INTS = 7
 
@@ -79,6 +99,11 @@ def _field_string(field_number: int, text: str) -> bytes:
 
 
 # --------------------------------------------------------------- wire decoding
+
+
+def _to_signed64(value: int) -> int:
+    """proto int64 varints are two's complement; map >=2^63 back to negative."""
+    return value - (1 << 64) if value >= (1 << 63) else value
 
 
 def _read_varint(data: bytes, pos: int) -> Tuple[int, int]:
@@ -125,10 +150,10 @@ class OnnxTensor:
 
     def encode(self) -> bytes:
         arr = self.array
-        if arr.dtype == np.float32:
-            data_type = FLOAT
-        elif arr.dtype == np.int64:
-            data_type = INT64
+        for dt, dtype in _DTYPE_BY_DATA_TYPE.items():
+            if arr.dtype == dtype:
+                data_type = dt
+                break
         else:
             raise TypeError(f"Unsupported tensor dtype {arr.dtype}")
         out = b""
@@ -147,6 +172,7 @@ class OnnxTensor:
         raw = b""
         float_data: List[float] = []
         int_data: List[int] = []
+        double_data: List[float] = []
         for num, wt, value in _iter_fields(data):
             if num == 1:
                 dims.append(value)
@@ -158,21 +184,38 @@ class OnnxTensor:
                 raw = value
             elif num == 4 and wt == 2:  # packed float_data
                 float_data.extend(struct.unpack(f"<{len(value) // 4}f", value))
-            elif num == 7 and wt == 2:  # packed int64_data
+            elif num == 4 and wt == 5:  # unpacked float_data
+                float_data.append(struct.unpack("<f", value)[0])
+            elif num == 7 and wt == 2:  # packed int64_data (also holds int32/bool)
                 pos = 0
                 while pos < len(value):
                     v, pos = _read_varint(value, pos)
-                    int_data.append(v)
-        dtype = np.float32 if data_type == FLOAT else np.int64
+                    int_data.append(_to_signed64(v))
+            elif num == 7 and wt == 0:
+                int_data.append(_to_signed64(value))
+            elif num == 5 and wt == 2:  # packed int32_data
+                pos = 0
+                while pos < len(value):
+                    v, pos = _read_varint(value, pos)
+                    int_data.append(_to_signed64(v))
+            elif num == 5 and wt == 0:
+                int_data.append(_to_signed64(value))
+            elif num == 10 and wt == 2:  # packed double_data
+                double_data.extend(struct.unpack(f"<{len(value) // 8}d", value))
+        dtype = _DTYPE_BY_DATA_TYPE.get(data_type, np.dtype(np.float32))
         if raw:
             arr = np.frombuffer(raw, dtype=dtype)
         elif float_data:
             arr = np.asarray(float_data, dtype=np.float32)
+        elif double_data:
+            arr = np.asarray(double_data, dtype=np.float64)
         elif int_data:
-            arr = np.asarray(int_data, dtype=np.int64)
+            # int32/bool/int64 all arrive via varint fields; cast to target
+            arr = np.asarray(int_data, dtype=np.int64).astype(dtype)
         else:
             arr = np.zeros(0, dtype=dtype)
-        return cls(name, arr.reshape(dims) if dims else arr)
+        # Empty dims on a 1-element tensor means a scalar in ONNX.
+        return cls(name, arr.reshape(dims) if dims or arr.size == 1 else arr)
 
 
 @dataclass
@@ -191,6 +234,8 @@ class OnnxAttribute:
             out += _field_bytes(4, self.value.encode("utf-8"))
         elif self.attr_type == ATTR_TENSOR:
             out += _field_bytes(5, self.value.encode())
+        elif self.attr_type == ATTR_GRAPH:
+            out += _field_bytes(6, self.value.encode())
         elif self.attr_type == ATTR_INTS:
             for v in self.value:
                 out += _field_varint(8, int(v))
@@ -210,6 +255,7 @@ class OnnxAttribute:
         i_val: Optional[int] = None
         s_val: Optional[str] = None
         t_val: Optional[OnnxTensor] = None
+        g_val: Optional["OnnxGraph"] = None
         ints: List[int] = []
         floats: List[float] = []
         for num, wt, value in _iter_fields(data):
@@ -218,19 +264,21 @@ class OnnxAttribute:
             elif num == 2:
                 f_val = struct.unpack("<f", value)[0]
             elif num == 3:
-                i_val = value
+                i_val = _to_signed64(value)
             elif num == 4:
                 s_val = value.decode("utf-8")
             elif num == 5:
                 t_val = OnnxTensor.decode(value)
+            elif num == 6:
+                g_val = OnnxGraph.decode(value)
             elif num == 8:
                 if wt == 0:
-                    ints.append(value)
+                    ints.append(_to_signed64(value))
                 else:
                     pos = 0
                     while pos < len(value):
                         v, pos = _read_varint(value, pos)
-                        ints.append(v)
+                        ints.append(_to_signed64(v))
             elif num == 7 and wt == 5:
                 floats.append(struct.unpack("<f", value)[0])
             elif num == 20:
@@ -243,11 +291,13 @@ class OnnxAttribute:
             return cls(name, s_val, attr_type)
         if attr_type == ATTR_TENSOR:
             return cls(name, t_val, attr_type)
+        if attr_type == ATTR_GRAPH:
+            return cls(name, g_val, attr_type)
         if attr_type == ATTR_INTS:
             return cls(name, ints, attr_type)
         if attr_type == ATTR_FLOATS:
             return cls(name, floats, attr_type)
-        # untype attributes: best effort
+        # untyped attributes: best effort
         return cls(name, i_val if i_val is not None else f_val, attr_type)
 
 

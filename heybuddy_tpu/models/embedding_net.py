@@ -46,6 +46,9 @@ __all__ = [
     "default_params",
     "save_params",
     "load_params",
+    "load_from_onnx",
+    "OnnxEmbeddingNet",
+    "embedding_space_id",
 ]
 
 Params = Dict[str, Any]
@@ -263,6 +266,75 @@ def default_params(seed: int = DEFAULT_SEED, config: Optional[EmbeddingNetConfig
     if seed not in _DEFAULT_PARAMS_CACHE:
         _DEFAULT_PARAMS_CACHE[seed] = init_params(jax.random.PRNGKey(seed), config)
     return _DEFAULT_PARAMS_CACHE[seed]
+
+
+class OnnxEmbeddingNet:
+    """
+    The reference's frozen speech-embedding model imported from its ONNX
+    artifact (reference embeddings.py:23-54, hosted ``speech-embedding.onnx``
+    at embeddings.py:29-30) as a jittable JAX function.
+
+    ``apply(params, windows)`` takes (n, 76, 32) or (n, 76, 32, 1) log-mel
+    windows and returns (n, 96) embeddings — the exact reference feature
+    space, so hosted precalculated datasets match bit-for-bit (up to conv
+    reassociation). Use whenever the artifact is available; the re-designed
+    trunk+pool network remains the offline default.
+    """
+
+    def __init__(self, fn: Any, input_name: str, output_name: str, input_rank: int) -> None:
+        self._fn = fn
+        self.input_name = input_name
+        self.output_name = output_name
+        self.input_rank = input_rank
+        self.params: Dict[str, np.ndarray] = fn.params
+
+    @classmethod
+    def from_file(cls, path: str) -> "OnnxEmbeddingNet":
+        from heybuddy_tpu.export.onnx_to_jax import OnnxJaxFunction
+
+        fn = OnnxJaxFunction.from_file(path)
+        if len(fn.input_names) != 1:
+            raise ValueError(
+                f"Expected a single graph input, got {fn.input_names} — not a "
+                "frozen embedding model"
+            )
+        # The browser runtime reads 'conv2d_19' (speech-embedding.ts:148-152);
+        # fall back to the sole declared output.
+        output = "conv2d_19" if "conv2d_19" in fn.output_names else fn.output_names[0]
+        declared = {i.name: i.shape for i in fn.graph.inputs}
+        rank = len(declared.get(fn.input_names[0], (0, 0, 0, 0)))
+        return cls(fn, fn.input_names[0], output, rank)
+
+    def apply(self, params: Dict[str, np.ndarray], windows: jax.Array) -> jax.Array:
+        if windows.ndim == 3 and self.input_rank == 4:
+            windows = windows[..., None]  # NHWC channel dim
+        elif windows.ndim == 4 and self.input_rank == 3:
+            windows = windows[..., 0]
+        out = self._fn(params, windows)
+        if isinstance(out, (list, tuple)):
+            out = out[self._fn.output_names.index(self.output_name)]
+        return out.reshape(out.shape[0], -1).astype(jnp.float32)  # (n,1,1,96)->(n,96)
+
+
+def load_from_onnx(path: str) -> OnnxEmbeddingNet:
+    """Import the frozen reference embedding model from ``speech-embedding.onnx``."""
+    return OnnxEmbeddingNet.from_file(path)
+
+
+def embedding_space_id(params: Any, backend: str = "trunkpool") -> str:
+    """
+    Short stable identifier of the feature space a parameter set produces:
+    hash of the backend name + every weight buffer. Features cached under one
+    space id must never be mixed with another's (see data/features.py sidecar
+    and data/training.py hosted-negative guard).
+    """
+    import hashlib
+
+    h = hashlib.sha256(backend.encode())
+    for key, value in sorted(_flatten(params).items()):
+        h.update(key.encode())
+        h.update(np.ascontiguousarray(np.asarray(value, dtype=np.float32)).tobytes())
+    return h.hexdigest()[:16]
 
 
 def _flatten(params: Params, prefix: str = "") -> Dict[str, np.ndarray]:

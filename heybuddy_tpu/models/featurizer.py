@@ -59,10 +59,50 @@ def featurize_batch(
     )
 
 
+def featurize_batch_per_window(
+    apply_fn: Any,
+    params: Any,
+    audio: jax.Array,
+) -> jax.Array:
+    """
+    Jittable per-window variant for imported frozen models whose graph runs
+    one 76x32 window at a time (the reference's Google embedding ONNX,
+    embeddings.py:86-151): mel spectrogram once, gather all windows with the
+    static plan, then ONE batched forward over (b*W, 76, 32).
+    """
+    if audio.ndim == 1:
+        audio = audio[None, :]
+    b, t = audio.shape
+    spec = mel_spectrogram(audio)  # (b, F, 32)
+    starts = np.asarray(embedding_window_starts(t))
+    from heybuddy_tpu.constants import EMBEDDING_WINDOW_SIZE
+
+    idx = starts[:, None] + np.arange(EMBEDDING_WINDOW_SIZE)[None, :]
+    windows = jnp.take(spec, jnp.asarray(idx), axis=1)  # (b, W, 76, 32)
+    w = windows.shape[1]
+    emb = apply_fn(params, windows.reshape(b * w, EMBEDDING_WINDOW_SIZE, -1))
+    return emb.reshape(b, w, -1)
+
+
 @functools.lru_cache(maxsize=8)
 def _jitted_featurize(compute_dtype_name: str) -> Any:
     dtype = jnp.dtype(compute_dtype_name)
     return jax.jit(functools.partial(featurize_batch, compute_dtype=dtype))
+
+
+def _padded_rows(b: int, multiple: int) -> int:
+    """
+    Padded batch size bounding the number of distinct compiled shapes: small
+    batches round up to the next power of two (1,2,4,...,multiple), larger
+    ones to a multiple. Without this every odd `predict` batch size costs a
+    fresh 40-500 s remote compile.
+    """
+    if b >= multiple:
+        return b + ((-b) % multiple)
+    size = 1
+    while size < b:
+        size *= 2
+    return size
 
 
 class SpeechEmbeddings:
@@ -80,12 +120,44 @@ class SpeechEmbeddings:
         params: Optional[Params] = None,
         compute_dtype: jnp.dtype = jnp.bfloat16,
         pad_to_multiple: int = 64,
+        onnx_path: Optional[str] = None,
     ) -> None:
-        self.params = params if params is not None else embedding_net.default_params()
         self.compute_dtype = jnp.dtype(compute_dtype)
-        # Padding the batch to a multiple bounds the number of distinct
-        # compiled shapes when callers stream variable batch sizes.
+        # Padding the batch bounds the number of distinct compiled shapes when
+        # callers stream variable batch sizes (see _padded_rows).
         self.pad_to_multiple = pad_to_multiple
+        self._onnx_net = None
+        if onnx_path:
+            # Imported reference frozen model: the exact reference feature
+            # space (hosted precalculated sets match).
+            net = embedding_net.load_from_onnx(onnx_path)
+            self._onnx_net = net
+            self.params = net.params
+            self.backend = "onnx"
+            self._fn = jax.jit(
+                functools.partial(featurize_batch_per_window, net.apply)
+            )
+        else:
+            self.params = params if params is not None else embedding_net.default_params()
+            self.backend = "trunkpool"
+            self._fn = _jitted_featurize(self.compute_dtype.name)
+        self._space_id: Optional[str] = None
+
+    @property
+    def space_id(self) -> str:
+        """Stable identifier of the feature space (backend + weights hash)."""
+        if self._space_id is None:
+            self._space_id = embedding_net.embedding_space_id(self.params, self.backend)
+        return self._space_id
+
+    def _pad_batch(self, mono: np.ndarray) -> np.ndarray:
+        b = mono.shape[0]
+        pad_b = _padded_rows(b, self.pad_to_multiple) - b
+        if pad_b:
+            mono = np.concatenate(
+                [mono, np.zeros((pad_b,) + mono.shape[1:], dtype=np.float32)], axis=0
+            )
+        return mono
 
     def featurize_device(self, audio_batch: np.ndarray) -> Tuple[jax.Array, int]:
         """
@@ -94,13 +166,9 @@ class SpeechEmbeddings:
         count. Used for double-buffered ingestion: the caller materializes the
         previous batch's result while this one computes.
         """
-        mono = audio_batch.astype(np.float32) * 32767.0
-        b, t = mono.shape
-        pad_b = (-b) % self.pad_to_multiple if b > self.pad_to_multiple else 0
-        if pad_b:
-            mono = np.concatenate([mono, np.zeros((pad_b, t), dtype=np.float32)], axis=0)
-        fn = _jitted_featurize(self.compute_dtype.name)
-        return fn(self.params, jnp.asarray(mono)), b
+        mono = self._pad_batch(audio_batch.astype(np.float32) * 32767.0)
+        b = audio_batch.shape[0]
+        return self._fn(self.params, jnp.asarray(mono)), b
 
     def __call__(
         self,
@@ -112,13 +180,8 @@ class SpeechEmbeddings:
         batch, _sr = audio_to_bct_array(audio, sample_rate=SAMPLE_RATE)
         mono = batch.mean(axis=1) * 32767.0  # (b, t), int16-range like the reference
         b, t = mono.shape
-
-        pad_b = (-b) % self.pad_to_multiple if b > self.pad_to_multiple else 0
-        if pad_b:
-            mono = np.concatenate([mono, np.zeros((pad_b, t), dtype=np.float32)], axis=0)
-
-        fn = _jitted_featurize(self.compute_dtype.name)
-        embeddings = np.asarray(fn(self.params, jnp.asarray(mono)))[:b]
+        mono = self._pad_batch(mono)
+        embeddings = np.asarray(self._fn(self.params, jnp.asarray(mono)))[:b]
 
         if remove_nan:
             embeddings = self._repair_nan(embeddings)
@@ -172,8 +235,17 @@ _GLOBAL_EMBEDDINGS: Optional[SpeechEmbeddings] = None
 
 
 def get_speech_embeddings(**kwargs: Any) -> SpeechEmbeddings:
-    """Get the shared featurizer instance (reference embeddings.py:237-243)."""
+    """
+    Get the shared featurizer instance (reference embeddings.py:237-243).
+    Set ``HEYBUDDY_EMBEDDING_ONNX`` to the reference's ``speech-embedding.onnx``
+    to featurize in the exact reference feature space.
+    """
     global _GLOBAL_EMBEDDINGS
     if _GLOBAL_EMBEDDINGS is None:
+        import os
+
+        onnx_path = kwargs.pop("onnx_path", None) or os.environ.get("HEYBUDDY_EMBEDDING_ONNX")
+        if onnx_path and os.path.exists(onnx_path):
+            kwargs["onnx_path"] = onnx_path
         _GLOBAL_EMBEDDINGS = SpeechEmbeddings(**kwargs)
     return _GLOBAL_EMBEDDINGS

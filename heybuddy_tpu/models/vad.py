@@ -25,7 +25,7 @@ import numpy as np
 
 from heybuddy_tpu.constants import SAMPLE_RATE
 
-__all__ = ["EnergyVAD", "SileroStyleVAD", "get_vad_model"]
+__all__ = ["EnergyVAD", "SileroStyleVAD", "SileroOnnxVAD", "get_vad_model"]
 
 
 class _TrimMixin:
@@ -200,15 +200,100 @@ class SileroStyleVAD(_TrimMixin):
         return float(prob)
 
 
+class SileroOnnxVAD(_TrimMixin):
+    """
+    The actual Silero VAD imported from its ONNX artifact (reference
+    vad.py:9-23, hosted ``silero-vad.onnx`` at vad.py:13) via the in-repo
+    ONNX->JAX converter — the real frozen weights, jitted for the device.
+
+    Handles both published layouts: v3/v4 (inputs ``input, sr, h, c``;
+    outputs ``output, hn, cn``) and v5 (inputs ``input, state, sr``; output
+    ``output, stateN``). The sample rate folds statically at trace time so
+    the graph's ``If`` sample-rate branch disappears from the compiled
+    program. Recurrent state persists across calls like the reference's ONNX
+    session (vad.py:22-23); reset with :meth:`reset`.
+    """
+
+    def __init__(self, onnx_path: str, sample_rate: int = SAMPLE_RATE) -> None:
+        import jax
+
+        from heybuddy_tpu.export.onnx_to_jax import OnnxJaxFunction
+
+        self._fn = OnnxJaxFunction.from_file(onnx_path)
+        self.params = self._fn.params
+        self.sample_rate = sample_rate
+        names = self._fn.input_names
+        self._v5 = "state" in names
+        self._state_shape = (2, 1, 128) if self._v5 else (2, 1, 64)
+        expected = {"input", "sr", "state"} if self._v5 else {"input", "sr", "h", "c"}
+        unknown = set(names) - expected
+        if unknown:
+            raise ValueError(f"Unrecognized Silero VAD graph inputs: {sorted(unknown)}")
+        self.reset()
+
+        def step(params: Any, audio: Any, *state: Any) -> Any:
+            # sr is a static numpy scalar -> the If branch folds at trace time
+            ordered = []
+            state_iter = iter(state)
+            for name in names:
+                if name == "input":
+                    ordered.append(audio)
+                elif name == "sr":
+                    ordered.append(np.int64(self.sample_rate))
+                else:
+                    ordered.append(next(state_iter))
+            return self._fn(params, *ordered)
+
+        self._step = jax.jit(step)
+
+    def reset(self) -> None:
+        if self._v5:
+            self._state: tuple = (np.zeros(self._state_shape, np.float32),)
+        else:
+            self._state = (
+                np.zeros(self._state_shape, np.float32),
+                np.zeros(self._state_shape, np.float32),
+            )
+
+    def __call__(self, audio: np.ndarray, sample_rate: int = SAMPLE_RATE, **_: Any) -> float:
+        audio = np.asarray(audio, dtype=np.float32)
+        if audio.ndim == 2:
+            audio = audio.mean(axis=0)
+        # Silero expects fixed chunks (512 samples at 16 kHz for v5; v4 accepts
+        # flexible lengths) — pad/trim to a 512-sample frame.
+        chunk = 512 if self.sample_rate == 16000 else 256
+        if audio.shape[-1] < chunk:
+            audio = np.pad(audio, (0, chunk - audio.shape[-1]))
+        else:
+            audio = audio[: (audio.shape[-1] // chunk) * chunk]
+        probs = []
+        for i in range(0, audio.shape[-1], chunk):
+            out = self._step(self.params, audio[None, i : i + chunk], *self._state)
+            if not isinstance(out, (list, tuple)):
+                out = [out]
+            prob, new_state = out[0], out[1:]
+            self._state = tuple(np.asarray(s) for s in new_state)
+            probs.append(float(np.asarray(prob).reshape(-1)[0]))
+        return max(probs) if probs else 0.0
+
+
 _GLOBAL_VAD: Optional[_TrimMixin] = None
 
 
 def get_vad_model(**_compat: Any) -> _TrimMixin:
-    """Shared VAD instance (reference vad.py:114-120)."""
+    """
+    Shared VAD instance (reference vad.py:114-120). Resolution order:
+    ``HEYBUDDY_VAD_ONNX`` (the reference's silero-vad.onnx, imported exactly)
+    > ``HEYBUDDY_VAD_WEIGHTS`` (converted npz for SileroStyleVAD) > energy
+    heuristic.
+    """
     global _GLOBAL_VAD
     if _GLOBAL_VAD is None:
+        onnx_path = os.environ.get("HEYBUDDY_VAD_ONNX")
         weights = os.environ.get("HEYBUDDY_VAD_WEIGHTS")
-        if weights and os.path.exists(weights):
+        if onnx_path and os.path.exists(onnx_path):
+            _GLOBAL_VAD = SileroOnnxVAD(onnx_path)
+        elif weights and os.path.exists(weights):
             _GLOBAL_VAD = SileroStyleVAD(weights)
         else:
             _GLOBAL_VAD = EnergyVAD()
