@@ -232,10 +232,13 @@ class TrainingFeaturesGenerator:
         os.makedirs(self.directory, exist_ok=True)
         path = os.path.join(self.directory, f"{name}.npy")
 
-        if not self.use_cache and os.path.exists(path):
+        from heybuddy_tpu.data.space import check_cache_space, write_space_sidecar
+
+        if os.path.exists(path) and (not self.use_cache or not check_cache_space(path)):
             os.remove(path)
 
         store = AppendableNpyFile(path)
+        write_space_sidecar(path)
         existing = len(store)
         if existing < num_samples:
             missing = num_samples - existing
@@ -303,7 +306,13 @@ class TrainingFeaturesGenerator:
         name = f"negative-speech-{num_texts}-{seed}"
         os.makedirs(self.directory, exist_ok=True)
         path = os.path.join(self.directory, f"{name}.npy")
+
+        from heybuddy_tpu.data.space import check_cache_space, write_space_sidecar
+
+        if os.path.exists(path) and not check_cache_space(path):
+            os.remove(path)
         store = AppendableNpyFile(path)
+        write_space_sidecar(path)
         existing = len(store)
         if existing < num_samples:
             from heybuddy_tpu.data.tts_generator import SpeechSampleGenerator

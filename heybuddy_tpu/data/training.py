@@ -13,6 +13,7 @@ double-buffered host->HBM ingestion queue.
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from typing import Any, Dict, Iterator, List, Optional, Tuple, Union
@@ -312,10 +313,17 @@ class WakeWordTrainingDatasetIterator(TrainingDatasetIterator):
         positive = generator.get_validation_features(validation_samples)
         positive_specs: List[DatasetSpec] = [(positive, positive_batch_size)]
         negative_specs: List[DatasetSpec] = []
-        try:
-            negative_specs.append((PrecalculatedValidationDataset(), negative_batch_size))
-        except FileNotFoundError as ex:
-            logger.warning(f"Hosted validation negatives unavailable: {ex}")
+        from heybuddy_tpu.data.precalculated import get_default_dataset_dir
+        from heybuddy_tpu.data.space import hosted_sets_compatible
+
+        if hosted_sets_compatible(
+            "validation negatives",
+            local_path=os.path.join(get_default_dataset_dir(), "validation.npy"),
+        ):
+            try:
+                negative_specs.append((PrecalculatedValidationDataset(), negative_batch_size))
+            except FileNotFoundError as ex:
+                logger.warning(f"Hosted validation negatives unavailable: {ex}")
         iterator = cls(
             num_batch_threads=num_batch_threads,
             positive=positive_specs,
@@ -377,6 +385,15 @@ class WakeWordTrainingDatasetIterator(TrainingDatasetIterator):
     def _hosted_negative(
         phrase: Union[str, List[str]], large: bool = False
     ) -> Optional[PrecalculatedDatasetIterator]:
+        from heybuddy_tpu.data.precalculated import get_default_dataset_dir
+        from heybuddy_tpu.data.space import hosted_sets_compatible
+
+        hosted_name = "training-large.npy" if large else "training-medium.npy"
+        if not hosted_sets_compatible(
+            "training negatives",
+            local_path=os.path.join(get_default_dataset_dir(), hosted_name),
+        ):
+            return None
         exclude = phrase if isinstance(phrase, str) else " ".join(phrase)
         dataset_cls = PrecalculatedTrainingDatasetLarge if large else PrecalculatedTrainingDatasetMedium
         try:
