@@ -14,7 +14,7 @@
  */
 
 import { AudioBatcher } from "./audio.js";
-import { EnergyVAD, MelSpectrogram, SpeechEmbedding, WakeWord } from "./models.js";
+import { EnergyVAD, MelSpectrogram, SileroVAD, SpeechEmbedding, WakeWord } from "./models.js";
 
 export class HeyBuddy {
   /**
@@ -42,7 +42,12 @@ export class HeyBuddy {
       options.embeddingModelPath ?? `${assetPath}/speech-embedding.onnx`,
       options,
     );
-    this.vad = new EnergyVAD(options);
+    // VAD: the real Silero model when a path is provided (the original
+    // silero-vad.onnx works directly under onnxruntime-web), else the
+    // dependency-free energy detector.
+    this.vad = options.vadModelPath
+      ? new SileroVAD(options.vadModelPath, options)
+      : new EnergyVAD(options);
     this.wakeWords = modelPaths.map(
       (path) => new WakeWord(path, { ...options, threshold: options.threshold ?? 0.5 }),
     );
@@ -101,6 +106,7 @@ export class HeyBuddy {
     await Promise.all([
       this.spectrogram.load(),
       this.embedding.load(),
+      ...(this.vad.load ? [this.vad.load()] : []),
       ...this.wakeWords.map((w) => w.load()),
     ]);
     await this.batcher.start();
@@ -151,7 +157,7 @@ export class HeyBuddy {
       this.embeddingBuffer = this.embeddingBuffer.slice(-this.embeddingFrames);
     }
 
-    const speaking = this.vad.update(newest);
+    const speaking = await this.vad.update(newest);
     if (this.recording) {
       this.recordingChunks.push(newest.slice());
       const total = this.recordingChunks.reduce((acc, c) => acc + c.length, 0);

@@ -171,6 +171,97 @@ export class EnergyVAD {
   }
 }
 
+/**
+ * Silero VAD head (reference runtime models/vad.ts:77-141): stateful ONNX
+ * session over 512-sample chunks with the reference's hysteresis — speech
+ * starts at probability >= 0.65, ends after 8 consecutive frames < 0.4.
+ * Accepts both published Silero layouts: v3/v4 (inputs input/sr/h/c) and
+ * v5 (inputs input/state/sr). Use the original silero-vad.onnx directly.
+ */
+export class SileroVAD extends OnnxModel {
+  constructor(modelPath, options = {}) {
+    super(modelPath, options);
+    this.sampleRate = options.sampleRate ?? 16000;
+    this.chunkSize = options.chunkSize ?? 512;
+    this.positiveThreshold = options.positiveThreshold ?? 0.65;
+    this.negativeThreshold = options.negativeThreshold ?? 0.4;
+    this.silentFramesToStop = options.silentFramesToStop ?? 8;
+    this.speaking = false;
+    this.silentFrames = 0;
+    this.lastProbability = 0;
+    this.onSpeechStart = null;
+    this.onSpeechEnd = null;
+    this._v5 = null;
+    this._state = null;
+  }
+
+  async load() {
+    await super.load();
+    const names = this.session.inputNames;
+    this._v5 = names.includes("state");
+    this.reset();
+    return this;
+  }
+
+  reset() {
+    const stateDim = this._v5 ? 128 : 64;
+    const zeros = () => new Float32Array(2 * stateDim);
+    this._state = this._v5 ? [zeros()] : [zeros(), zeros()];
+    this.speaking = false;
+    this.silentFrames = 0;
+  }
+
+  /** Raw speech probability for one audio chunk (>= chunkSize samples). */
+  async probability(audio) {
+    if (!this.session) await this.load();
+    const chunk = new Float32Array(this.chunkSize);
+    chunk.set(audio.subarray(Math.max(0, audio.length - this.chunkSize)));
+    const stateDim = this._v5 ? 128 : 64;
+    const sr = new this.ort.Tensor("int64", BigInt64Array.from([BigInt(this.sampleRate)]), []);
+    const feeds = { input: this.tensor(chunk, [1, this.chunkSize]), sr };
+    if (this._v5) {
+      feeds.state = this.tensor(this._state[0], [2, 1, stateDim]);
+    } else {
+      feeds.h = this.tensor(this._state[0], [2, 1, stateDim]);
+      feeds.c = this.tensor(this._state[1], [2, 1, stateDim]);
+    }
+    const out = await this.run(feeds);
+    const names = this.session.outputNames;
+    if (this._v5) {
+      this._state = [out[names.find((n) => n.startsWith("state"))].data];
+    } else {
+      this._state = [out.hn.data, out.cn.data];
+    }
+    this.lastProbability = out[names[0]].data[0];
+    return this.lastProbability;
+  }
+
+  /**
+   * Update the speaking state from the newest frame (reference
+   * hasSpeechAudio hysteresis, vad.ts:108-141); returns speaking.
+   */
+  async update(audio) {
+    const p = await this.probability(audio);
+    if (!this.speaking && p >= this.positiveThreshold) {
+      this.speaking = true;
+      this.silentFrames = 0;
+      if (this.onSpeechStart) this.onSpeechStart();
+    } else if (this.speaking) {
+      if (p < this.negativeThreshold) {
+        this.silentFrames += 1;
+        if (this.silentFrames >= this.silentFramesToStop) {
+          this.speaking = false;
+          this.silentFrames = 0;
+          if (this.onSpeechEnd) this.onSpeechEnd();
+        }
+      } else {
+        this.silentFrames = 0;
+      }
+    }
+    return this.speaking;
+  }
+}
+
 /** Wake-word head: [1, 16, 96] embedding buffer -> probability. */
 export class WakeWord extends OnnxModel {
   constructor(modelPath, options = {}) {

@@ -29,6 +29,7 @@ reference: it defines the feature space, the classifier trains on top.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Any, Dict, Optional, Sequence, Tuple
 
@@ -43,6 +44,7 @@ __all__ = [
     "init_params",
     "apply",
     "apply_spectrogram",
+    "apply_spectrogram_banded",
     "default_params",
     "save_params",
     "load_params",
@@ -232,6 +234,111 @@ def apply_spectrogram(
     w = gathered.shape[1]
     pooled = _apply_pool(params, gathered.reshape(b * w, cfg.window_patches, -1))
     return pooled.reshape(b, w, -1)
+
+
+@functools.lru_cache(maxsize=None)
+def _band_constants(
+    starts: Tuple[int, ...], patch_frames: int, window_patches: int, num_patches: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """
+    Static banded-pooling structure for :func:`apply_spectrogram_banded`:
+      selector: (W, P) 0/1 — patch p participates in window w
+      k_index:  (W, P) int — p's position within w (0 where unused)
+    """
+    n_windows = len(starts)
+    selector = np.zeros((n_windows, num_patches), dtype=np.float32)
+    k_index = np.zeros((n_windows, num_patches), dtype=np.int32)
+    for w, start in enumerate(starts):
+        p0 = start // patch_frames
+        for k in range(window_patches):
+            selector[w, p0 + k] = 1.0
+            k_index[w, p0 + k] = k
+    return selector, k_index
+
+
+def apply_spectrogram_banded(
+    params: Params,
+    spectrogram: jax.Array,
+    window_starts: Sequence[int],
+    config: Optional[EmbeddingNetConfig] = None,
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+) -> jax.Array:
+    """
+    Banded-matmul formulation of :func:`apply_spectrogram`: instead of
+    gathering every window's 19 patch features (a (b, W, 19, D) materialization
+    followed by tiny batched einsums — the round-1 profile's ~5 ms), the
+    attention pooling is rewritten as TWO fat matmuls:
+
+        pooled(w,h) = [sum_p Band_h(w,p)·e_a(p,h)·f(p)] / denom + pos-term
+
+    where ``Band_h(w,p) = exp(pos_k·Q_h)`` on the window band and 0 elsewhere.
+    ``softmax(x@Q) = e_a·e_c / denom`` because scores separate as
+    ``(f+pos)@Q = a(p) + c(k)``. Identical math to ``_apply_pool`` up to float
+    reassociation (weights are normalized then cast to the compute dtype, as
+    in the gather path).
+    """
+    cfg = config or EmbeddingNetConfig()
+    b, frames, mel = spectrogram.shape
+    usable = (frames // cfg.patch_frames) * cfg.patch_frames
+    num_patches = usable // cfg.patch_frames
+    patches = spectrogram[:, :usable].reshape(b, num_patches, cfg.patch_dim).astype(compute_dtype)
+    feats = _apply_trunk(params, patches)  # (b, P, D) compute dtype
+
+    starts = tuple(int(s) for s in window_starts)
+    assert all(s % cfg.patch_frames == 0 for s in starts)
+    selector_np, k_index_np = _band_constants(
+        starts, cfg.patch_frames, cfg.window_patches, num_patches
+    )
+    n_windows = len(starts)
+    heads = cfg.pool_heads
+    hidden = cfg.hidden_dim
+
+    q = jnp.asarray(params["pool_query"], jnp.float32)
+    c = jnp.dot(jnp.asarray(params["pos"], jnp.float32), q)  # (19, H)
+    exp_c = jnp.exp(c - jnp.max(c))  # shift cancels in the ratio
+    # band[w, h, p] = selector * exp_c[k(w,p), h]
+    band = jnp.transpose(
+        jnp.take(exp_c, jnp.asarray(k_index_np), axis=0), (0, 2, 1)
+    ) * jnp.asarray(selector_np)[:, None, :]  # (W, H, P)
+
+    # patch scores once for the whole clip
+    a = jnp.dot(
+        feats, q.astype(feats.dtype), preferred_element_type=jnp.float32
+    )  # (b, P, H) f32
+    a = a - jax.lax.stop_gradient(jnp.max(a, axis=1, keepdims=True))
+    e_a = jnp.exp(a)  # (b, P, H)
+
+    # unnormalized band weights (b, W, H, P); denominators by reduction over P
+    bw = band[None] * jnp.transpose(e_a, (0, 2, 1))[:, None]  # (b, W, H, P) f32
+    denom = jnp.sum(bw, axis=3, keepdims=True)  # (b, W, H, 1)
+    weights = (bw / (denom + 1e-30)).astype(compute_dtype)
+
+    # feature term: ONE batched matmul (b, W*H, P) @ (b, P, D)
+    numer1 = jax.lax.dot_general(
+        weights.reshape(b, n_windows * heads, num_patches),
+        feats,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).reshape(b, n_windows, heads, hidden)
+
+    # positional term: per-window per-k weights gathered from e_a, then one
+    # (b*W*H, 19) @ (19, D) matmul
+    idx = jnp.asarray(
+        np.asarray(starts)[:, None] // cfg.patch_frames
+        + np.arange(cfg.window_patches)[None, :]
+    )  # (W, 19)
+    ea_w = jnp.take(e_a, idx, axis=1)  # (b, W, 19, H)
+    wk = ea_w * exp_c[None, None] / (jnp.transpose(denom, (0, 1, 3, 2)) + 1e-30)
+    wk = jnp.transpose(wk, (0, 1, 3, 2)).astype(compute_dtype)  # (b, W, H, 19)
+    numer2 = jnp.dot(
+        wk.reshape(b * n_windows * heads, cfg.window_patches),
+        params["pos"].astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    ).reshape(b, n_windows, heads, hidden)
+
+    pooled = (numer1 + numer2).astype(compute_dtype).reshape(b * n_windows, heads * hidden)
+    out = _dense(_rms_scale(pooled), params["head"])
+    return out.astype(jnp.float32).reshape(b, n_windows, cfg.embedding_dim)
 
 
 _DEFAULT_PARAMS_CACHE: Dict[int, Params] = {}

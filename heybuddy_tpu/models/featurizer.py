@@ -40,11 +40,16 @@ def featurize_batch(
     audio: jax.Array,
     compute_dtype: jnp.dtype = jnp.bfloat16,
     config: Optional[EmbeddingNetConfig] = None,
+    pooling: str = "banded",
 ) -> jax.Array:
     """
     Jittable core: (batch, t) float32 audio in int16-range values ->
     (batch, n_windows, 96) embeddings. For the canonical 1.44 s clip
     (t = 23040), n_windows = 16.
+
+    ``pooling="banded"`` (default) runs the window pooling as two fat matmuls
+    (embedding_net.apply_spectrogram_banded); ``"gather"`` keeps the original
+    gather + batched-einsum formulation (identical math, slower on TPU).
     """
     if audio.ndim == 1:
         audio = audio[None, :]
@@ -54,9 +59,12 @@ def featurize_batch(
     # Fused fast path: the embedding trunk runs once over the full
     # spectrogram's patch grid; windows gather trunk features and pool
     # (embedding_net.apply_spectrogram docstring).
-    return embedding_net.apply_spectrogram(
-        params, spec, starts, config=config, compute_dtype=compute_dtype
+    apply_fn = (
+        embedding_net.apply_spectrogram_banded
+        if pooling == "banded"
+        else embedding_net.apply_spectrogram
     )
+    return apply_fn(params, spec, starts, config=config, compute_dtype=compute_dtype)
 
 
 def featurize_batch_per_window(

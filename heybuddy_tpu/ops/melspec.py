@@ -172,6 +172,7 @@ def mel_spectrogram(
     f_max: float = MEL_F_MAX,
     eps: float = MEL_LOG_EPS,
     compute_dtype: Optional[jnp.dtype] = None,
+    precision: Optional[jax.lax.Precision] = None,
 ) -> jax.Array:
     """
     Log-mel spectrogram with the reference's output scaling applied.
@@ -194,12 +195,19 @@ def mel_spectrogram(
         frames = frames.astype(compute_dtype)
         basis = basis.astype(compute_dtype)
 
+    if precision is None:
+        # bf16_3x (~21 mantissa bits): int16-range audio splits exactly into
+        # two bf16 halves, so accuracy is within ~1e-5 of full f32 while the
+        # MXU runs 3 bf16 passes instead of f32 emulation.
+        precision = jax.lax.Precision.HIGH
+
     # One MXU matmul yields cos and sin components together: (b, F, 2*n_freqs)
     spectrum = jax.lax.dot_general(
         frames,
         basis,
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )
     re, im = spectrum[..., :n_freqs], spectrum[..., n_freqs:]
     power = re * re + im * im  # (b, F, n_freqs)
