@@ -112,10 +112,16 @@ def resample_audio(
 
 def _coerce_single(item: AudioLike, sample_rate: Optional[int]) -> Tuple[np.ndarray, Optional[int]]:
     """Coerce one item to (channels, time) float32 plus its native sample rate."""
-    if isinstance(item, str):
-        return read_wav(item)
-    if isinstance(item, bytes):
-        return read_wav(item)
+    if isinstance(item, (str, bytes)):
+        if isinstance(item, str) and os.path.splitext(item)[1].lower() not in (".wav", ".wave", ""):
+            # Non-WAV containers (mp3/aac/ogg/flac/...) go through the codec
+            # layer (ffmpeg-backed; reference util/audio_util.py:582-664).
+            from heybuddy_tpu.utils.codecs import decode_audio
+
+            return decode_audio(item, sample_rate=sample_rate)
+        from heybuddy_tpu.utils.codecs import read_wav_any
+
+        return read_wav_any(item)
     arr = np.asarray(item, dtype=np.float32)
     if arr.ndim == 1:
         arr = arr[np.newaxis, :]
