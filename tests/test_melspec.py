@@ -82,21 +82,36 @@ def test_batched_equals_single():
 
 def test_fused_mel_kernel_interpret_matches_xla():
     """Pallas fused mel kernel (interpreter mode) vs the XLA path."""
-    import jax
+    from heybuddy_tpu.ops.pallas.melspec_kernel import mel_spectrogram_pallas
 
-    from heybuddy_tpu.ops.pallas.melspec_kernel import fused_mel_spectrogram, supports_fused
-
-    assert supports_fused(23040)
     rng = np.random.default_rng(5)
     audio = jnp.asarray(rng.normal(0, 1000.0, (4, 23040)).astype(np.float32))
-    fused = np.asarray(fused_mel_spectrogram(audio, interpret=True))
+    fused = np.asarray(mel_spectrogram_pallas(audio, interpret=True))
     ref = np.asarray(mel_spectrogram(audio))
+    assert fused.shape == ref.shape == (4, 141, MEL_BINS)
     np.testing.assert_allclose(fused, ref, atol=5e-3, rtol=1e-4)
 
 
-def test_fused_embedding_kernel_interpret_matches_xla():
-    """Pallas fused trunk+pool kernel (interpreter mode) vs apply_spectrogram."""
-    import jax
+def test_fused_mel_kernel_pads_odd_batches_and_lengths():
+    """Non-multiple batch sizes and the 17280-sample shape keep the contract."""
+    from heybuddy_tpu.ops.pallas.melspec_kernel import mel_spectrogram_pallas
+
+    rng = np.random.default_rng(7)
+    audio = jnp.asarray(rng.normal(0, 1000.0, (3, 17280)).astype(np.float32))
+    fused = np.asarray(mel_spectrogram_pallas(audio, interpret=True))
+    ref = np.asarray(mel_spectrogram(audio))
+    assert fused.shape == ref.shape == (3, 105, MEL_BINS)
+    np.testing.assert_allclose(fused, ref, atol=5e-3, rtol=1e-4)
+
+
+def test_fused_embedding_kernel_interpret_matches_banded():
+    """Pallas fused trunk+pool kernel (interpreter mode) vs the XLA paths.
+
+    The kernel matmuls in bfloat16 but keeps rms/softmax/accumulation in
+    float32, so it lands CLOSER to the exact f32 gather reference (~0.017 max
+    abs on unit-scale embeddings) than the production banded-bf16 XLA path
+    does (~0.25) — assert bf16-class agreement with the f32 references.
+    """
     import jax.numpy as jnp2
 
     from heybuddy_tpu.models import embedding_net
@@ -108,8 +123,15 @@ def test_fused_embedding_kernel_interpret_matches_xla():
     audio = jnp.asarray(rng.normal(0, 1000.0, (4, 23040)).astype(np.float32))
     spec = mel_spectrogram(audio)
     starts = embedding_window_starts(23040)
-    ref = np.asarray(
+    ref_f32 = np.asarray(
         embedding_net.apply_spectrogram(params, spec, starts, compute_dtype=jnp2.float32)
     )
+    ref_banded_f32 = np.asarray(
+        embedding_net.apply_spectrogram_banded(
+            params, spec, starts, compute_dtype=jnp2.float32
+        )
+    )
     fused = np.asarray(fused_embedding_windows(params, spec, starts, interpret=True))
-    np.testing.assert_allclose(fused, ref, atol=5e-4, rtol=1e-3)
+    assert fused.shape == ref_f32.shape
+    assert np.abs(fused - ref_f32).max() < 0.05
+    assert np.abs(fused - ref_banded_f32).max() < 0.05
