@@ -217,12 +217,27 @@ class SimplePhonemizer:
         return " ".join(out_words)
 
 
-_GLOBAL_PHONEMIZER: Optional[SimplePhonemizer] = None
+_GLOBAL_PHONEMIZER = None
 
 
-def get_phonemizer(**_compat_kwargs) -> SimplePhonemizer:
-    """Shared phonemizer instance (reference phonemizer.py:164-175)."""
+def get_phonemizer(**_compat_kwargs):
+    """
+    Shared phonemizer instance (reference phonemizer.py:164-175). Prefers the
+    espeak-ng binding when libespeak-ng is installed (espeak-grade accuracy,
+    same contract as the reference's espeak path); the rule engine (+ optional
+    CMUdict) remains the dependency-free fallback. Set
+    ``HEYBUDDY_PHONEMIZER=simple`` to force the rule engine.
+    """
     global _GLOBAL_PHONEMIZER
     if _GLOBAL_PHONEMIZER is None:
-        _GLOBAL_PHONEMIZER = SimplePhonemizer()
+        if os.environ.get("HEYBUDDY_PHONEMIZER", "").lower() != "simple":
+            try:
+                from heybuddy_tpu.text.espeak import EspeakPhonemizer
+
+                if EspeakPhonemizer.available():
+                    _GLOBAL_PHONEMIZER = EspeakPhonemizer()
+            except Exception:  # espeak init failure falls back silently
+                _GLOBAL_PHONEMIZER = None
+        if _GLOBAL_PHONEMIZER is None:
+            _GLOBAL_PHONEMIZER = SimplePhonemizer()
     return _GLOBAL_PHONEMIZER

@@ -66,3 +66,40 @@ def test_tokenizer_disjoint_phrases_disjoint_tokens():
     a = set(int(t) for t in tokenizer("hello world") if t != 0)
     b = set(int(t) for t in tokenizer("completely different utterance") if t != 0)
     assert a.isdisjoint(b)
+
+
+def test_espeak_ipa_to_arpabet_mapping():
+    """The IPA->ARPAbet table converts espeak output without the library."""
+    from heybuddy_tpu.text.espeak import EspeakPhonemizer
+
+    # espeak-ng "hello world" IPA: h@l'oU w'3:ld -> həlˈoʊ wˈɜːld
+    assert EspeakPhonemizer.ipa_word_to_arpabet("həlˈoʊ") == ["HH", "AH", "L", "OW"]
+    assert EspeakPhonemizer.ipa_word_to_arpabet("wˈɜːld") == ["W", "ER", "L", "D"]
+    # espeak-ng "buddy": b'Vdi -> bˈʌdi
+    assert EspeakPhonemizer.ipa_word_to_arpabet("bˈʌdi") == ["B", "AH", "D", "IY"]
+    # diphthongs and affricates take longest-match precedence
+    assert EspeakPhonemizer.ipa_word_to_arpabet("tʃaɪld") == ["CH", "AY", "L", "D"]
+    # stress/length marks are ignored, unknown symbols dropped
+    assert EspeakPhonemizer.ipa_word_to_arpabet("ˈˌːˑ") == []
+
+
+def test_espeak_binding_when_available():
+    """Live binding golden (runs only where libespeak-ng is installed)."""
+    import pytest
+
+    from heybuddy_tpu.text.espeak import EspeakPhonemizer
+
+    if not EspeakPhonemizer.available():
+        pytest.skip("libespeak-ng not installed")
+    p = EspeakPhonemizer()
+    assert p("hello world") == "[HH][AH][L][OW] [W][ER][L][D]"
+
+
+def test_get_phonemizer_simple_override(monkeypatch):
+    """HEYBUDDY_PHONEMIZER=simple forces the rule engine."""
+    import heybuddy_tpu.text.phonemizer as pz
+
+    monkeypatch.setenv("HEYBUDDY_PHONEMIZER", "simple")
+    monkeypatch.setattr(pz, "_GLOBAL_PHONEMIZER", None)
+    assert isinstance(pz.get_phonemizer(), SimplePhonemizer)
+    monkeypatch.setattr(pz, "_GLOBAL_PHONEMIZER", None)  # reset for other tests
