@@ -281,6 +281,11 @@ def combine(
 @click.option("--synthetic-negative-samples", type=int, default=0, show_default=True,
               help="Synthesize this many ordinary-speech negatives (offline substitute "
                    "for the hosted precalculated negative sets).")
+@click.option("--partial-samples", type=int, default=0, show_default=True,
+              help="Generate this many sliding-offset PARTIAL views of the wake phrase "
+                   "as hard negatives (teaches the window-edge behavior the runtime's "
+                   "sliding window sees; fixes partial-phrase false accepts).")
+@click.option("--partial-batch-size", type=int, default=DEFAULT_PARTIAL_BATCH_SIZE)
 @click.option("--adversarial-batch-size", type=int, default=DEFAULT_ADVERSARIAL_BATCH_SIZE)
 @click.option("--num-batch-threads", type=int, default=DEFAULT_BATCH_THREADS)
 @click.option("--validation-positive-batch-size", type=int, default=DEFAULT_VALIDATION_POSITIVE_BATCH_SIZE)
@@ -351,6 +356,8 @@ def train(phrase: str, **kwargs: Any) -> None:
             positive_batch_size=kwargs.pop("positive_batch_size"),
             adversarial_batch_size=kwargs.pop("adversarial_batch_size"),
             negative_batch_size=negative_batch_size,
+            partial_samples=kwargs.pop("partial_samples"),
+            partial_batch_size=kwargs.pop("partial_batch_size"),
             num_batch_threads=kwargs.pop("num_batch_threads"),
             large_negative_dataset=training_default_size in ("large", "full"),
             synthetic_negative_samples=kwargs.pop("synthetic_negative_samples"),

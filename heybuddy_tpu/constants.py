@@ -78,6 +78,14 @@ DEFAULT_VALIDATION_POSITIVE_BATCH_SIZE = 50
 DEFAULT_VALIDATION_SAMPLES = 25000
 DEFAULT_TESTING_POSITIVE_SAMPLES = 25000
 DEFAULT_TESTING_ADVERSARIAL_SAMPLES = 25000
+# Sliding-offset partial views of the wake phrase itself, labeled negative —
+# the runtime slides a window over the stream, so a classifier trained only on
+# fully-contained phrases is undefined on partial views and false-accepts
+# near-collisions at window edges (beyond-reference hard-negative class).
+DEFAULT_PARTIAL_SAMPLES = 50000
+DEFAULT_PARTIAL_BATCH_SIZE = 25
+DEFAULT_PARTIAL_MIN_VISIBLE = 0.30
+DEFAULT_PARTIAL_MAX_VISIBLE = 0.80
 DEFAULT_LISTEN_BUFFER_SIZE = 4096
 DEFAULT_FEATURE_BATCH_SIZE = 25000
 DEFAULT_NOISE_BATCH_SIZE = 1000

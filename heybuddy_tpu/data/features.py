@@ -121,10 +121,14 @@ class TrainingFeaturesGenerator:
             )
         return self._noise_provider
 
-    def _cache_name(self, adversarial: bool, testing: bool, validation: bool) -> str:
+    def _cache_name(
+        self, adversarial: bool, testing: bool, validation: bool, partial: bool = False
+    ) -> str:
         name = safe_name(self.phrase_key)
         if adversarial:
             name += "-adversarial"
+        if partial:
+            name += "-partial"
         if testing:
             name += "-testing"
         if validation:
@@ -138,13 +142,14 @@ class TrainingFeaturesGenerator:
         store: AppendableNpyFile,
         limit: int,
         seed_offset: int = 0,
+        config: Optional[AugmentConfig] = None,
     ) -> int:
         """Augment + embed a sample stream into ``store``; returns rows written."""
         from heybuddy_tpu.models.featurizer import get_speech_embeddings
 
         augmenter = AugmentedAudioGenerator(
             samples,
-            config=self.augment_config,
+            config=config or self.augment_config,
             batch_size=self.augment_batch_size,
             noise_provider=self.noise_provider,
             pad_only=pad_only,
@@ -286,6 +291,79 @@ class TrainingFeaturesGenerator:
         return self._get_features(
             num_samples, adversarial=False, testing=False, validation=True
         )
+
+    def get_partial_phrase_features(
+        self,
+        num_samples: int,
+        testing: bool = False,
+        min_visible: Optional[float] = None,
+        max_visible: Optional[float] = None,
+    ) -> PrecalculatedDatasetIterator:
+        """
+        Sliding-offset partial views of the wake phrase itself, cached as
+        ``{phrase}-partial.npy`` and used as hard NEGATIVES: the phrase audio
+        straddles a window edge so only a head/tail fraction is visible —
+        exactly what the runtime's sliding window sees mid-phrase. Without
+        this class, partial-phrase behavior is untrained and near-collisions
+        ("hay bunny" at a half-window offset) false-accept. No reference
+        equivalent (its placement always keeps clips fully inside the window,
+        augmented.py:200-232).
+        """
+        from heybuddy_tpu.constants import (
+            DEFAULT_PARTIAL_MAX_VISIBLE,
+            DEFAULT_PARTIAL_MIN_VISIBLE,
+        )
+
+        name = self._cache_name(False, testing, False, partial=True)
+        os.makedirs(self.directory, exist_ok=True)
+        path = os.path.join(self.directory, f"{name}.npy")
+
+        from heybuddy_tpu.data.space import check_cache_space, write_space_sidecar
+
+        if os.path.exists(path) and (not self.use_cache or not check_cache_space(path)):
+            os.remove(path)
+        store = AppendableNpyFile(path)
+        write_space_sidecar(path)
+        existing = len(store)
+        if existing < num_samples:
+            missing = num_samples - existing
+            logger.info(f"Generating {missing} partial-view features for '{name}'")
+            config = self.augment_config._replace(
+                placement="edge",
+                edge_min_visible=(
+                    DEFAULT_PARTIAL_MIN_VISIBLE if min_visible is None else min_visible
+                ),
+                edge_max_visible=(
+                    DEFAULT_PARTIAL_MAX_VISIBLE if max_visible is None else max_visible
+                ),
+            )
+            generator_kwargs = {
+                k: v
+                for k, v in self.generator_kwargs.items()
+                if k not in ("custom_adversarial_texts", "num_adversarial_texts")
+            }
+            # No "{phrase}. {word}" augmentation: the trailing word would fill
+            # the hidden region and dilute the partial-view signal.
+            generator_kwargs["phrase_augment_prob"] = 0.0
+            speech = SpeechSampleGenerator(
+                self.phrase,
+                adversarial=False,
+                batch_size=self.tts_batch_size,
+                seed=self.seed + existing + (3000 if testing else 2000),
+                tts_backend=self.tts_backend,
+                **generator_kwargs,
+            )
+            self._featurize_stream(
+                speech(missing),
+                pad_only=False,
+                store=store,
+                limit=missing,
+                seed_offset=existing + (3000 if testing else 2000),
+                config=config,
+            )
+        else:
+            logger.info(f"Using {num_samples} cached partial-view features for '{name}'")
+        return PrecalculatedDatasetIterator(name, directory=self.directory, seed=self.seed)
 
     def get_negative_speech_features(
         self,

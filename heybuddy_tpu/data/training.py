@@ -26,6 +26,7 @@ from heybuddy_tpu.constants import (
     DEFAULT_ADVERSARIAL_SAMPLES,
     DEFAULT_BATCH_THREADS,
     DEFAULT_NEGATIVE_BATCH_SIZE,
+    DEFAULT_PARTIAL_BATCH_SIZE,
     DEFAULT_POSITIVE_BATCH_SIZE,
     DEFAULT_POSITIVE_SAMPLES,
     DEFAULT_TESTING_ADVERSARIAL_SAMPLES,
@@ -233,6 +234,8 @@ class WakeWordTrainingDatasetIterator(TrainingDatasetIterator):
         positive_batch_size: int = DEFAULT_POSITIVE_BATCH_SIZE,
         adversarial_batch_size: int = DEFAULT_ADVERSARIAL_BATCH_SIZE,
         negative_batch_size: int = DEFAULT_NEGATIVE_BATCH_SIZE,
+        partial_samples: int = 0,
+        partial_batch_size: int = DEFAULT_PARTIAL_BATCH_SIZE,
         num_batch_threads: int = DEFAULT_BATCH_THREADS,
         large_negative_dataset: bool = False,
         synthetic_negative_samples: int = 0,
@@ -260,6 +263,11 @@ class WakeWordTrainingDatasetIterator(TrainingDatasetIterator):
         negative_specs: List[DatasetSpec] = [
             (adversarial, adversarial_batch_size),
         ]
+        if partial_samples > 0:
+            # Sliding-offset partial views of the wake phrase, labeled
+            # negative (features.get_partial_phrase_features docstring).
+            partial = generator.get_partial_phrase_features(partial_samples, testing=testing)
+            negative_specs.append((partial, partial_batch_size))
         if negative_batch_size > 0:
             negative = cls._hosted_negative(phrase, large=large_negative_dataset)
             if negative is not None:
@@ -363,8 +371,11 @@ class WakeWordTrainingDatasetIterator(TrainingDatasetIterator):
                 "positive_batch_size",
                 "adversarial_batch_size",
                 "negative_batch_size",
+                "partial_samples",
+                "partial_batch_size",
                 "num_batch_threads",
                 "large_negative_dataset",
+                "synthetic_negative_samples",
             }
         }
         training = cls.default(phrase, **kwargs)

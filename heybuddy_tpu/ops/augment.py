@@ -55,7 +55,7 @@ from heybuddy_tpu.constants import (
     SAMPLE_RATE,
 )
 
-__all__ = ["AugmentConfig", "augment_batch", "random_center_pad"]
+__all__ = ["AugmentConfig", "augment_batch", "random_center_pad", "edge_pad"]
 
 
 class AugmentConfig(NamedTuple):
@@ -83,6 +83,13 @@ class AugmentConfig(NamedTuple):
     reverb_prob: float = DEFAULT_AUGMENT_REVERB_PROB
     target_samples: int = CLIP_SAMPLES
     sample_rate: int = SAMPLE_RATE
+    # "random": whole clip at a random offset (reference random center padding).
+    # "edge": SLIDING-OFFSET PARTIAL VIEW — only a head/tail fraction of the
+    # clip is visible at a window edge, simulating the runtime's sliding
+    # window mid-phrase (used for partial-view hard negatives).
+    placement: str = "random"
+    edge_min_visible: float = 0.30
+    edge_max_visible: float = 0.80
 
 
 def _db_to_amp(db: jax.Array) -> jax.Array:
@@ -114,6 +121,51 @@ def random_center_pad(
         return jnp.roll(clip, shift)
 
     return jax.vmap(roll_one)(audio, offsets)
+
+
+def edge_pad(
+    key: jax.Array,
+    audio: jax.Array,
+    lengths: jax.Array,
+    target_samples: int = CLIP_SAMPLES,
+    min_visible: float = 0.30,
+    max_visible: float = 0.80,
+) -> jax.Array:
+    """
+    Place each clip so it STRADDLES a window edge: only a random head or tail
+    fraction (``min_visible``..``max_visible`` of the clip) is inside the
+    window, the rest is cut off. This is exactly what the runtime's sliding
+    window sees mid-phrase; clips placed this way are the partial-view
+    hard-negative class (no reference equivalent — its training places every
+    clip fully inside the window, augmented.py:200-232, which leaves
+    sliding-offset behavior untrained).
+
+    head mode: the first ``visible`` samples end flush at the window END
+    (phrase just starting). tail mode: the last ``visible`` samples start
+    flush at the window START (phrase mostly over).
+
+    ``audio``: (b, target_samples) zero-padded left-aligned; ``lengths``: (b,).
+    """
+    b = audio.shape[0]
+    k_frac, k_mode = jax.random.split(key)
+    frac = jax.random.uniform(k_frac, (b,), minval=min_visible, maxval=max_visible)
+    lengths_f = lengths.astype(jnp.float32)
+    visible = jnp.clip(
+        (frac * lengths_f).astype(jnp.int32), 1, jnp.maximum(lengths - 1, 1)
+    )
+    head = jax.random.bernoulli(k_mode, 0.5, (b,))
+    idx = jnp.arange(target_samples)
+
+    def place_one(clip: jax.Array, length: jax.Array, vis: jax.Array, is_head: jax.Array):
+        # head: clip sample i -> target - vis + i; keep idx >= target - vis.
+        rolled_head = jnp.roll(clip, target_samples - vis)
+        masked_head = jnp.where(idx >= target_samples - vis, rolled_head, 0.0)
+        # tail: clip sample j -> j - (length - vis); keep idx < vis.
+        rolled_tail = jnp.roll(clip, -(length - vis))
+        masked_tail = jnp.where(idx < vis, rolled_tail, 0.0)
+        return jnp.where(is_head, masked_head, masked_tail)
+
+    return jax.vmap(place_one)(audio, lengths, visible, head)
 
 
 def _seven_band_eq(key: jax.Array, audio: jax.Array, cfg: AugmentConfig) -> jax.Array:
@@ -313,7 +365,13 @@ def augment_batch(
     x = _maybe(keys[10], cfg.gain_prob, _gain(keys[11], x, cfg), x)
 
     k_pad, k_bg, k_bgp, k_rvp = jax.random.split(jax.random.fold_in(key, 1), 4)
-    x = random_center_pad(k_pad, x, lengths, cfg.target_samples)
+    if cfg.placement == "edge":
+        x = edge_pad(
+            k_pad, x, lengths, cfg.target_samples,
+            min_visible=cfg.edge_min_visible, max_visible=cfg.edge_max_visible,
+        )
+    else:
+        x = random_center_pad(k_pad, x, lengths, cfg.target_samples)
 
     has_noise = jnp.any(jnp.abs(noise) > 0)
     bg = _background_noise(k_bg, x, noise, cfg)

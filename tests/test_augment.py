@@ -106,3 +106,51 @@ def test_reverb_smears_energy():
     ir[0, 500] = 0.5
     out = np.asarray(aug._reverb(jnp.asarray(click), jnp.asarray(ir)))[0]
     assert abs(out[1500]) > 0.1  # echo present
+
+
+def test_edge_pad_produces_partial_views():
+    """Every clip straddles a window edge with a bounded visible fraction."""
+    from heybuddy_tpu.ops.augment import edge_pad
+
+    b, length = 32, 16000
+    rng = np.random.default_rng(3)
+    audio = np.zeros((b, CLIP_SAMPLES), dtype=np.float32)
+    # Nowhere-zero content so visibility is measurable exactly.
+    audio[:, :length] = rng.uniform(0.1, 1.0, (b, length)).astype(np.float32)
+    lengths = jnp.full((b,), length, dtype=jnp.int32)
+    out = np.asarray(edge_pad(jax.random.PRNGKey(0), jnp.asarray(audio), lengths,
+                              min_visible=0.30, max_visible=0.80))
+    assert out.shape == (b, CLIP_SAMPLES)
+    for i in range(b):
+        nonzero = np.nonzero(np.abs(out[i]) > 0)[0]
+        visible = nonzero.size
+        # visible fraction respects the configured bounds
+        assert 0.28 * length <= visible <= 0.82 * length
+        # content is contiguous and flush against exactly one window edge
+        assert nonzero[-1] - nonzero[0] + 1 == visible
+        at_start = nonzero[0] == 0
+        at_end = nonzero[-1] == CLIP_SAMPLES - 1
+        assert at_start != at_end
+        if at_end:  # head mode: the clip's BEGINNING is visible
+            np.testing.assert_array_equal(out[i, nonzero[0]:], audio[i, :visible])
+        else:  # tail mode: the clip's END is visible
+            np.testing.assert_array_equal(out[i, :visible], audio[i, length - visible:length])
+
+
+def test_augment_batch_edge_placement():
+    """placement='edge' flows through the full jitted chain."""
+    audio, lengths = make_batch(b=8)
+    noise = jnp.zeros_like(audio)
+    impulse = jnp.zeros((8, 256), dtype=jnp.float32)
+    cfg = AugmentConfig(
+        seven_band_prob=0.0, tanh_distortion_prob=0.0, pitch_shift_prob=0.0,
+        band_stop_prob=0.0, colored_noise_prob=0.0, background_noise_prob=0.0,
+        gain_prob=0.0, reverb_prob=0.0, placement="edge",
+    )
+    out = np.asarray(augment_batch(jax.random.PRNGKey(1), audio, lengths, noise, impulse, cfg))
+    # with all other augments off, each row is a strict partial view: less
+    # total energy than the full clip, and nonzero
+    full_energy = float(np.sum(np.asarray(audio)[0] ** 2))
+    for row in out:
+        e = float(np.sum(row**2))
+        assert 0.0 < e < full_energy

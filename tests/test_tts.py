@@ -111,3 +111,51 @@ def test_feature_generator_end_to_end(tmp_path, monkeypatch):
     assert len(again) == 8
     topped = gen.get_training_features(12)
     assert len(topped) == 12
+
+
+def test_partial_phrase_features_and_iterator_wiring(tmp_path, monkeypatch):
+    """Partial-view hard negatives: cache naming + negative-spec wiring."""
+    monkeypatch.setenv("HEYBUDDY_OFFLINE", "1")
+    import os
+
+    from heybuddy_tpu.data.features import TrainingFeaturesGenerator
+    from heybuddy_tpu.data.training import WakeWordTrainingDatasetIterator
+
+    gen = TrainingFeaturesGenerator(
+        "hey buddy",
+        directory=str(tmp_path),
+        embed_batch_size=16,
+        augment_batch_size=8,
+        tts_batch_size=4,
+        tts_backend="formant",
+        num_adversarial_texts=4,
+    )
+    partial = gen.get_partial_phrase_features(6)
+    assert os.path.exists(tmp_path / "hey-buddy-partial.npy")
+    assert partial.precalculated.shape == (6, 16, 96)
+    assert np.isfinite(partial.take(3)).all()
+
+    iterator = WakeWordTrainingDatasetIterator.default(
+        "hey buddy",
+        positive_samples=6,
+        adversarial_samples=6,
+        adversarial_phrases=4,
+        positive_batch_size=3,
+        adversarial_batch_size=3,
+        negative_batch_size=0,
+        partial_samples=6,
+        partial_batch_size=3,
+        num_batch_threads=1,
+        directory=str(tmp_path),
+        embed_batch_size=16,
+        augment_batch_size=8,
+        tts_batch_size=4,
+        tts_backend="formant",
+        num_adversarial_texts=4,
+    )
+    # two negative specs: adversarial + partial views
+    assert len(iterator.negative) == 2
+    x, y = next(iter(iterator))
+    iterator.stop()
+    assert x.shape[0] == y.shape[0] == 9  # 3 pos + 3 adv + 3 partial
+    assert int(y.sum()) == 3  # partial views labeled negative
