@@ -1,0 +1,271 @@
+#!/usr/bin/env python
+"""
+End-to-end offline quality evaluation: FRR / FAR / FP-per-hour.
+
+Reproducible harness behind QUALITY.md. Trains a wake-word classifier with
+the framework's own pipeline (TTS -> augment -> featurize -> jitted trainer,
+including sliding-offset partial-view hard negatives) and reports:
+
+  - FRR               held-out augmented positives scored < threshold
+  - FAR (adversarial) held-out phonetic near-collisions scored >= threshold
+  - FAR (speech)      held-out ordinary-speech clips scored >= threshold
+  - fp_per_hour       detections on >= 1 h of synthetic CONTINUOUS ordinary
+                      speech via the runtime's sliding window (1.44 s window,
+                      0.12 s stride, 1.92 s debounce) — the reference's own
+                      operating metric (reference trainer.py:511-536, target
+                      1.5/hr, constants.py:85)
+  - sliding-offset max scores for the wake phrase and known near-collisions
+    ("hay bunny" etc.), each embedded at random offsets in context audio
+
+Usage:
+  python scripts/quality_eval.py --embedding <weights.npz> --out results.json
+  python scripts/quality_eval.py --quick            # tiny smoke version
+
+The embedding weights flow through HEYBUDDY_EMBEDDING_WEIGHTS so cached
+feature shards regenerate against the right feature space automatically.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def parse_args() -> argparse.Namespace:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--phrase", default="hey buddy")
+    p.add_argument("--embedding", default=None, help="embedding weights .npz")
+    p.add_argument("--dataset-dir", default=None, help="feature cache dir (default: temp)")
+    p.add_argument("--checkpoint-dir", default=None, help="classifier checkpoint dir")
+    p.add_argument("--out", default=None, help="write the JSON summary here")
+    p.add_argument("--quick", action="store_true", help="tiny sizes (smoke test)")
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--train-samples", type=int, default=800)
+    p.add_argument("--heldout-samples", type=int, default=200)
+    p.add_argument("--partial-samples", type=int, default=400)
+    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--stream-minutes", type=float, default=60.0)
+    p.add_argument("--threshold", type=float, default=0.5)
+    return p.parse_args()
+
+
+ADVERSARIAL_SLIDING_PHRASES = [
+    "hay bunny",
+    "say study",
+    "hey bunny",
+    "a buddy",
+    "hey but",
+    "good morning",
+    "hello there",
+    "turn on the lights",
+    "play some music",
+]
+
+
+def synth_speech_stream(minutes: float, seed: int, sample_rate: int = 16000):
+    """Continuous ordinary speech: random phrases, gaps, noise — one array."""
+    from heybuddy_tpu.models.formant import FormantSynthesizer
+    from heybuddy_tpu.text.wordlist import WORDS
+
+    rng = np.random.default_rng(seed)
+    synth = FormantSynthesizer()
+    vocabulary = sorted(set(WORDS))
+    total = int(minutes * 60 * sample_rate)
+    out = np.zeros(total, dtype=np.float32)
+    pos = 0
+    while pos < total:
+        n_words = int(rng.integers(1, 7))
+        text = " ".join(rng.choice(vocabulary, size=n_words, replace=False))
+        clip = synth.synthesize(text, speaker=int(rng.integers(0, 1024)))
+        clip = clip * float(rng.uniform(0.3, 1.0))
+        end = min(pos + len(clip), total)
+        out[pos:end] = clip[: end - pos]
+        pos = end + int(rng.uniform(0.15, 1.2) * sample_rate)  # inter-phrase gap
+    # light background noise over the whole stream (20-30 dB SNR)
+    noise = rng.normal(0.0, 1.0, total).astype(np.float32)
+    speech_rms = float(np.sqrt(np.mean(out**2)) + 1e-9)
+    snr_db = float(rng.uniform(20.0, 30.0))
+    noise *= speech_rms / (10 ** (snr_db / 20.0)) / (np.sqrt(np.mean(noise**2)) + 1e-9)
+    return np.clip(out + noise, -1.0, 1.0)
+
+
+def sliding_scores(model, stream: np.ndarray, batch: int = 1024,
+                   window: int = 23040, stride: int = 1920) -> np.ndarray:
+    """Classifier score for every sliding window position over the stream."""
+    n = max((len(stream) - window) // stride + 1, 0)
+    scores = np.zeros(n, dtype=np.float32)
+    starts = np.arange(n) * stride
+    for i in range(0, n, batch):
+        chunk_starts = starts[i : i + batch]
+        clips = np.stack([stream[s : s + window] for s in chunk_starts])
+        scores[i : i + batch] = np.asarray(
+            model.predict(clips, return_scores=True)
+        )
+    return scores
+
+
+def count_detections(scores: np.ndarray, threshold: float, debounce_windows: int = 16) -> int:
+    """Hits with a refractory period (browser runtime debounce: ~1.92 s)."""
+    detections = 0
+    cooldown = 0
+    for s in scores:
+        if cooldown > 0:
+            cooldown -= 1
+            continue
+        if s >= threshold:
+            detections += 1
+            cooldown = debounce_windows
+    return detections
+
+
+def main() -> None:
+    args = parse_args()
+    if args.embedding:
+        os.environ["HEYBUDDY_EMBEDDING_WEIGHTS"] = os.path.abspath(args.embedding)
+    os.environ.setdefault("HEYBUDDY_OFFLINE", "1")
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    try:
+        from heybuddy_tpu.utils.downloads import get_cache_dir
+
+        jax.config.update("jax_compilation_cache_dir", get_cache_dir("xla-cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from heybuddy_tpu.data.features import TrainingFeaturesGenerator
+    from heybuddy_tpu.data.training import WakeWordTrainingDatasetIterator
+    from heybuddy_tpu.models.formant import FormantSynthesizer
+    from heybuddy_tpu.training.trainer import WakeWordTrainer
+    from heybuddy_tpu.utils.log import logger
+
+    if args.quick:
+        args.train_samples = 24
+        args.heldout_samples = 12
+        args.partial_samples = 12
+        args.steps = 40
+        args.stream_minutes = min(args.stream_minutes, 1.0)
+
+    dataset_dir = args.dataset_dir or tempfile.mkdtemp(prefix="quality-eval-")
+    ckpt_dir = args.checkpoint_dir or os.path.join(dataset_dir, "ckpt")
+    t0 = time.time()
+
+    gen_kwargs = dict(
+        directory=dataset_dir,
+        tts_backend="formant",
+        seed=args.seed,
+    )
+    gen = TrainingFeaturesGenerator(args.phrase, **gen_kwargs)
+
+    logger.info("=== generating training features ===")
+    pos_train = gen.get_training_features(args.train_samples, adversarial=False)
+    adv_train = gen.get_training_features(
+        args.train_samples, adversarial=True, adversarial_phrases=60
+    )
+    partial_train = gen.get_partial_phrase_features(args.partial_samples)
+    speech_train = gen.get_negative_speech_features(
+        args.train_samples, num_texts=400, seed=args.seed
+    )
+
+    logger.info("=== generating held-out features ===")
+    pos_test = gen.get_training_features(args.heldout_samples, adversarial=False, testing=True)
+    adv_test = gen.get_training_features(
+        args.heldout_samples, adversarial=True, adversarial_phrases=60, testing=True
+    )
+    speech_test = gen.get_negative_speech_features(
+        args.heldout_samples, num_texts=200, seed=args.seed + 77
+    )
+
+    bs = max(4, min(25, args.train_samples // 8))
+    training = WakeWordTrainingDatasetIterator(
+        num_batch_threads=1,
+        positive=[(pos_train, 2 * bs)],
+        negative=[(adv_train, bs), (partial_train, bs), (speech_train, bs)],
+    )
+
+    logger.info("=== training classifier ===")
+    trainer = WakeWordTrainer(checkpoint_dir=ckpt_dir)
+    trainer.train_epoch(
+        training,
+        num_steps=args.steps,
+        validation_steps=args.steps + 1,  # no mid-train validation
+        checkpoint_steps=args.steps + 1,
+        logging_steps=max(args.steps // 10, 1),
+        name="quality-eval",
+    )
+    training.stop()
+    trainer.save_checkpoint("quality-eval_final")
+    final = os.path.join(ckpt_dir, "quality-eval_final.npz")
+    model = trainer.model
+
+    def rate(iterator, op) -> float:
+        feats = iterator.precalculated[:]
+        scores = np.asarray(model(np.asarray(feats, dtype=np.float32))).reshape(-1)
+        return float(np.mean(op(scores)))
+
+    thr = args.threshold
+    frr = rate(pos_test, lambda s: s < thr)
+    far_adv = rate(adv_test, lambda s: s >= thr)
+    far_speech = rate(speech_test, lambda s: s >= thr)
+    logger.info(f"FRR={frr:.4f} FAR_adv={far_adv:.4f} FAR_speech={far_speech:.4f}")
+
+    logger.info(f"=== streaming fp/hour over {args.stream_minutes:.0f} min ===")
+    stream = synth_speech_stream(args.stream_minutes, seed=args.seed + 31)
+    scores = sliding_scores(model, stream)
+    detections = count_detections(scores, thr)
+    hours = args.stream_minutes / 60.0
+    fp_per_hour = detections / hours if hours > 0 else float("nan")
+    logger.info(f"stream: {detections} detections in {hours:.2f} h -> {fp_per_hour:.2f}/hr")
+
+    logger.info("=== sliding-offset phrase check ===")
+    synth = FormantSynthesizer()
+    rng = np.random.default_rng(args.seed + 5)
+    sliding = {}
+    for text in [args.phrase] + ADVERSARIAL_SLIDING_PHRASES:
+        maxima = []
+        for spk in range(3):
+            clip = synth.synthesize(text, speaker=spk)
+            ctx = np.zeros(2 * 16000 + len(clip), dtype=np.float32)
+            off = int(rng.integers(0, 2 * 16000))
+            ctx[off : off + len(clip)] = clip
+            s = sliding_scores(model, ctx)
+            maxima.append(float(s.max()) if s.size else 0.0)
+        sliding[text] = round(float(np.mean(maxima)), 3)
+        logger.info(f"  {text!r}: mean max score {sliding[text]}")
+
+    results = {
+        "phrase": args.phrase,
+        "threshold": thr,
+        "embedding": args.embedding or "packaged-default",
+        "train_samples": args.train_samples,
+        "partial_samples": args.partial_samples,
+        "steps": args.steps,
+        "frr": round(frr, 4),
+        "far_adversarial": round(far_adv, 4),
+        "far_speech": round(far_speech, 4),
+        "stream_minutes": args.stream_minutes,
+        "stream_detections": detections,
+        "fp_per_hour": round(fp_per_hour, 3),
+        "sliding_max_scores": sliding,
+        "checkpoint": final,
+        "wall_s": round(time.time() - t0, 1),
+    }
+    print(json.dumps(results))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    main()
