@@ -147,8 +147,19 @@ class EmbeddingPretrainer:
             windows = embedding_net.apply_spectrogram(params, spec, starts, config=cfg)
             return jnp.mean(windows, axis=1)  # (b, 96) clip-level embedding
 
-        def step(params, opt_state, key, clips1, clips2, lengths1, lengths2, noise, impulse):
+        # The clip pool and noise/impulse banks stay HBM-RESIDENT across steps;
+        # the host sends only this step's INDICES (a few KB). Shipping gathered
+        # clip batches per step (~47 MB) over the remote-device tunnel made the
+        # step host-transfer-bound (~3 s); on-device gather removes it.
+        def step(params, opt_state, key, pool, pool_lengths, noise_bank, impulse_bank,
+                 text_idx, spk_idx, noise_idx, imp_idx):
             k1, k2 = jax.random.split(key)
+            clips1 = pool[text_idx, spk_idx[:, 0]]
+            clips2 = pool[text_idx, spk_idx[:, 1]]
+            lengths1 = pool_lengths[text_idx, spk_idx[:, 0]]
+            lengths2 = pool_lengths[text_idx, spk_idx[:, 1]]
+            noise = noise_bank[noise_idx]
+            impulse = impulse_bank[imp_idx]
 
             def loss_fn(p):
                 v1 = augment_batch(k1, clips1, lengths1, noise[0], impulse[0], aug_cfg)
@@ -178,9 +189,12 @@ class EmbeddingPretrainer:
             use_remote=self.augment_config.background_noise_prob > 0,
         )
         # Pre-built banks: per-step synthetic-noise generation would otherwise
-        # dominate host time; sampling rows from fixed banks is free.
-        noise_bank = noise_provider.noise_batch(256)
-        impulse_bank = noise_provider.impulse_batch(64)
+        # dominate host time; sampling rows from fixed banks is free. The pool
+        # and banks are transferred to HBM ONCE — steps send only indices.
+        noise_bank = jax.device_put(noise_provider.noise_batch(256))
+        impulse_bank = jax.device_put(noise_provider.impulse_batch(64))
+        pool = jax.device_put(self._pool)
+        pool_lengths = jax.device_put(self._pool_lengths)
 
         n_texts, n_spk, _ = self._pool.shape
         params, opt_state = self.params, self.opt_state
@@ -190,15 +204,13 @@ class EmbeddingPretrainer:
             spk = np.stack(
                 [self.rng.choice(n_spk, size=2, replace=n_spk < 2) for _ in range(self.batch_size)]
             )
-            clips1 = self._pool[text_idx, spk[:, 0]]
-            clips2 = self._pool[text_idx, spk[:, 1]]
-            lengths1 = self._pool_lengths[text_idx, spk[:, 0]]
-            lengths2 = self._pool_lengths[text_idx, spk[:, 1]]
-            noise = noise_bank[self.rng.integers(0, len(noise_bank), (2, self.batch_size))]
-            impulse = impulse_bank[self.rng.integers(0, len(impulse_bank), (2, self.batch_size))]
+            noise_idx = self.rng.integers(0, 256, (2, self.batch_size))
+            imp_idx = self.rng.integers(0, 64, (2, self.batch_size))
             key = jax.random.fold_in(jax.random.PRNGKey(self.seed + 13), step_idx)
             params, opt_state, loss = self._step_fn(
-                params, opt_state, key, clips1, clips2, lengths1, lengths2, noise, impulse
+                params, opt_state, key, pool, pool_lengths, noise_bank, impulse_bank,
+                text_idx.astype(np.int32), spk.astype(np.int32),
+                noise_idx.astype(np.int32), imp_idx.astype(np.int32),
             )
             if step_idx % log_every == 0 or step_idx == steps - 1:
                 loss_val = float(np.asarray(loss))
