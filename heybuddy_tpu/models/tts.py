@@ -65,15 +65,6 @@ def arpabet_to_ipa(phones: List[List[str]]) -> str:
     return " ".join(w for w in words if w)
 
 
-def _builtin_phoneme_id_map() -> Dict[str, List[int]]:
-    """Deterministic fallback id map: pad=0, bos=1, eos=2, then IPA chars."""
-    chars = sorted({c for ipa in _ARPA_TO_IPA.values() for c in ipa} | {" ", ".", ",", "?", "!"})
-    table: Dict[str, List[int]] = {"_": [0], "^": [1], "$": [2]}
-    for i, c in enumerate(chars):
-        table[c] = [3 + i]
-    return table
-
-
 class BaseTTS:
     """Shared sampling/grid/trim logic; subclasses implement ``synthesize_batch``."""
 
@@ -248,12 +239,20 @@ class VitsTTS(BaseTTS):
         checkpoint_path = checkpoint_path or os.environ.get("HEYBUDDY_TTS_CHECKPOINT")
         config_path = config_path or os.environ.get("HEYBUDDY_TTS_CONFIG")
 
-        self.phoneme_id_map: Dict[str, List[int]] = _builtin_phoneme_id_map()
+        # Default to the piper-phonemize table so bare checkpoints (no voice
+        # config JSON) phonemize with the ids every real piper voice expects
+        # (text/piper_maps.py); a voice's own config still takes precedence.
+        from heybuddy_tpu.text.piper_maps import piper_phoneme_id_map, piper_speaker_id_map
+
+        self.phoneme_id_map: Dict[str, List[int]] = dict(piper_phoneme_id_map())
+        self.speaker_id_map: Dict[str, int] = dict(piper_speaker_id_map())
         if config_path and os.path.exists(config_path):
             with open(config_path) as f:
                 voice_config = json.load(f)
             if "phoneme_id_map" in voice_config:
                 self.phoneme_id_map = voice_config["phoneme_id_map"]
+            if "speaker_id_map" in voice_config:
+                self.speaker_id_map = voice_config["speaker_id_map"]
             audio_cfg = voice_config.get("audio", {})
             self.sample_rate = audio_cfg.get("sample_rate", self.model_sample_rate)
 
@@ -270,6 +269,16 @@ class VitsTTS(BaseTTS):
     @property
     def num_speakers(self) -> int:
         return self.config.n_speakers
+
+    def resolve_speaker(self, speaker: Any) -> int:
+        """Speaker NAME (e.g. LibriTTS "3922") or integer id -> integer id."""
+        if isinstance(speaker, str) and not speaker.isdigit():
+            raise KeyError(f"Unknown speaker name {speaker!r}")
+        if isinstance(speaker, str):
+            if speaker in self.speaker_id_map:
+                return int(self.speaker_id_map[speaker])
+            return int(speaker)
+        return int(speaker)
 
     def phonemize_ids(self, text: str, min_phoneme_count: Optional[int] = None) -> List[int]:
         """Text -> interspersed phoneme ids with BOS/EOS (piper convention)."""

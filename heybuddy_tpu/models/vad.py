@@ -109,6 +109,61 @@ class EnergyVAD(_TrimMixin):
         return float(np.clip((ratio - 1.5) / 6.5, 0.0, 1.0))
 
 
+class VADGate:
+    """
+    Speaking-state hysteresis over any frame-probability VAD (the reference
+    runtime's state machine, browser vad.ts:108-141 semantics): speech STARTS
+    when a frame probability reaches ``positive_threshold`` and ENDS only
+    after ``silent_frames_to_stop`` CONSECUTIVE frames below
+    ``negative_threshold`` — brief intra-phrase dips do not release the gate.
+
+    Defaults match the reference's Silero operating point (0.65 / 0.4 / 8
+    frames of 20 ms = 160 ms hold); pass ``positive_threshold=0.5,
+    negative_threshold=0.25`` for the energy VAD's calibration (its pseudo-
+    probability is flatter than Silero's — see tests/test_vad_gate.py for the
+    speech-corpus validation of both operating points).
+    """
+
+    def __init__(
+        self,
+        vad: Any = None,
+        positive_threshold: float = 0.65,
+        negative_threshold: float = 0.4,
+        silent_frames_to_stop: int = 8,
+    ) -> None:
+        self.vad = vad
+        self.positive_threshold = positive_threshold
+        self.negative_threshold = negative_threshold
+        self.silent_frames_to_stop = silent_frames_to_stop
+        self.speaking = False
+        self.silent_frames = 0
+
+    def reset(self) -> None:
+        self.speaking = False
+        self.silent_frames = 0
+        if self.vad is not None and hasattr(self.vad, "reset"):
+            self.vad.reset()
+
+    def update(self, frame_or_probability: Any) -> bool:
+        """Advance one frame (raw audio if a VAD is attached, else a float)."""
+        if self.vad is not None and not np.isscalar(frame_or_probability):
+            p = float(self.vad(np.asarray(frame_or_probability)))
+        else:
+            p = float(frame_or_probability)
+        if not self.speaking:
+            if p >= self.positive_threshold:
+                self.speaking = True
+                self.silent_frames = 0
+        elif p < self.negative_threshold:
+            self.silent_frames += 1
+            if self.silent_frames >= self.silent_frames_to_stop:
+                self.speaking = False
+                self.silent_frames = 0
+        else:
+            self.silent_frames = 0
+        return self.speaking
+
+
 class SileroStyleVAD(_TrimMixin):
     """
     Silero-architecture VAD in JAX: per-chunk STFT magnitude features ->

@@ -103,3 +103,38 @@ def test_get_phonemizer_simple_override(monkeypatch):
     monkeypatch.setattr(pz, "_GLOBAL_PHONEMIZER", None)
     assert isinstance(pz.get_phonemizer(), SimplePhonemizer)
     monkeypatch.setattr(pz, "_GLOBAL_PHONEMIZER", None)  # reset for other tests
+
+
+def test_piper_interop_maps():
+    """Bundled piper data tables: structure, sentinels, and coverage."""
+    from heybuddy_tpu.text.piper_maps import piper_phoneme_id_map, piper_speaker_id_map
+
+    pmap = piper_phoneme_id_map()
+    assert pmap["_"] == [0] and pmap["^"] == [1] and pmap["$"] == [2] and pmap[" "] == [3]
+    # one id per symbol, ids unique
+    ids = [v[0] for v in pmap.values()]
+    assert len(ids) == len(set(ids)) == len(pmap) >= 130
+    # every IPA char the framework's ARPAbet bridge emits is mapped
+    from heybuddy_tpu.models.tts import _ARPA_TO_IPA
+
+    for ipa in _ARPA_TO_IPA.values():
+        for char in ipa:
+            assert char in pmap, f"unmapped IPA char {char!r}"
+
+    smap = piper_speaker_id_map()
+    assert len(smap) == 904
+    assert set(smap.values()) == set(range(904))
+
+
+def test_vits_tts_defaults_to_piper_maps(monkeypatch):
+    """Bare-checkpoint VITS TTS uses the piper tables and resolves speakers."""
+    monkeypatch.delenv("HEYBUDDY_TTS_CHECKPOINT", raising=False)
+    monkeypatch.delenv("HEYBUDDY_TTS_CONFIG", raising=False)
+    from heybuddy_tpu.models.tts import VitsTTS
+
+    tts = VitsTTS()
+    assert tts.phoneme_id_map["ɹ"] == [88]
+    ids = tts.phonemize_ids("hi")
+    assert ids[0] == 1 and ids[-1] == 2 and len(ids) > 4
+    assert tts.resolve_speaker(5) == 5
+    assert tts.resolve_speaker("3922") == 0  # LibriTTS speaker name
