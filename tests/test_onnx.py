@@ -79,3 +79,42 @@ def test_onnx_runner_model_class(tmp_path):
     np.testing.assert_allclose(
         np.asarray(onnx_model(x)), np.asarray(model(x)), atol=1e-5
     )
+
+
+def test_wire_format_decodes_with_protoc(tmp_path):
+    """Independent wire-format validation: protoc (Google's protobuf
+    implementation) must decode the exported model against the public ONNX
+    schema — catching varint/length-delimited bugs the in-repo OnnxRunner
+    round-trip (same author as the writer) cannot."""
+    import os
+    import shutil
+    import subprocess
+
+    protoc = shutil.which("protoc")
+    if protoc is None:
+        pytest.skip("protoc not installed")
+
+    model = WakeWordMLPModel(num_layers=1, layer_dim=32)
+    path = str(tmp_path / "model.onnx")
+    model.save_onnx(path)
+
+    schema_dir = os.path.join(os.path.dirname(__file__), "assets")
+    with open(path, "rb") as f:
+        proc = subprocess.run(
+            [protoc, f"-I{schema_dir}", "--decode=onnx.ModelProto", "onnx_subset.proto"],
+            stdin=f, capture_output=True, text=True, timeout=60,
+        )
+    assert proc.returncode == 0, proc.stderr
+    decoded = proc.stdout
+    # structural assertions on the independently-decoded text
+    assert 'op_type: "MatMul"' in decoded or 'op_type: "Gemm"' in decoded
+    assert 'name: "input"' in decoded and 'name: "output"' in decoded
+    assert "opset_import" in decoded and "version: 19" in decoded
+    assert "ir_version" in decoded
+    # every graph input/output declares a tensor type with dims
+    assert "tensor_type" in decoded and "dim_value" in decoded
+    # no unknown-field spillage: protoc prints unknown fields as raw numbers
+    # like "15: ..." — the exporter must only emit schema fields
+    import re as _re
+
+    assert not _re.search(r"^\s*\d+[:{]", decoded, _re.M), "unknown fields in wire format"
