@@ -295,26 +295,35 @@ class TrainingFeaturesGenerator:
     def get_partial_phrase_features(
         self,
         num_samples: int,
+        adversarial: bool = False,
         testing: bool = False,
         min_visible: Optional[float] = None,
         max_visible: Optional[float] = None,
+        adversarial_phrases: Optional[int] = None,
     ) -> PrecalculatedDatasetIterator:
         """
-        Sliding-offset partial views of the wake phrase itself, cached as
-        ``{phrase}-partial.npy`` and used as hard NEGATIVES: the phrase audio
-        straddles a window edge so only a head/tail fraction is visible —
-        exactly what the runtime's sliding window sees mid-phrase. Without
-        this class, partial-phrase behavior is untrained and near-collisions
-        ("hay bunny" at a half-window offset) false-accept. No reference
-        equivalent (its placement always keeps clips fully inside the window,
-        augmented.py:200-232).
+        Sliding-offset partial views, cached as ``{phrase}[-adversarial]-
+        partial.npy`` and used as hard NEGATIVES: the clip straddles a window
+        edge so only a head/tail fraction is visible — exactly what the
+        runtime's sliding window sees mid-phrase. Two sources:
+
+        * ``adversarial=False``: the wake phrase itself — teaches "don't fire
+          until the phrase is fully inside the window".
+        * ``adversarial=True``: phonetic near-collisions — a partial view of
+          "hay bunny" can sit CLOSER to the full wake phrase in feature space
+          than the full adversary does, so full-view adversarial training
+          alone leaves sliding offsets uncovered (measured: full "hay bunny"
+          rejected at 0.00 while its sliding max scored 1.00).
+
+        No reference equivalent (its placement always keeps clips fully
+        inside the window, augmented.py:200-232).
         """
         from heybuddy_tpu.constants import (
             DEFAULT_PARTIAL_MAX_VISIBLE,
             DEFAULT_PARTIAL_MIN_VISIBLE,
         )
 
-        name = self._cache_name(False, testing, False, partial=True)
+        name = self._cache_name(adversarial, testing, False, partial=True)
         os.makedirs(self.directory, exist_ok=True)
         path = os.path.join(self.directory, f"{name}.npy")
 
@@ -337,17 +346,18 @@ class TrainingFeaturesGenerator:
                     DEFAULT_PARTIAL_MAX_VISIBLE if max_visible is None else max_visible
                 ),
             )
-            generator_kwargs = {
-                k: v
-                for k, v in self.generator_kwargs.items()
-                if k not in ("custom_adversarial_texts", "num_adversarial_texts")
-            }
+            generator_kwargs = dict(self.generator_kwargs)
+            if adversarial_phrases is not None:
+                generator_kwargs["num_adversarial_texts"] = adversarial_phrases
+            if not adversarial:
+                generator_kwargs.pop("custom_adversarial_texts", None)
+                generator_kwargs.pop("num_adversarial_texts", None)
             # No "{phrase}. {word}" augmentation: the trailing word would fill
             # the hidden region and dilute the partial-view signal.
             generator_kwargs["phrase_augment_prob"] = 0.0
             speech = SpeechSampleGenerator(
                 self.phrase,
-                adversarial=False,
+                adversarial=adversarial,
                 batch_size=self.tts_batch_size,
                 seed=self.seed + existing + (3000 if testing else 2000),
                 tts_backend=self.tts_backend,

@@ -264,10 +264,18 @@ class WakeWordTrainingDatasetIterator(TrainingDatasetIterator):
             (adversarial, adversarial_batch_size),
         ]
         if partial_samples > 0:
-            # Sliding-offset partial views of the wake phrase, labeled
-            # negative (features.get_partial_phrase_features docstring).
+            # Sliding-offset partial views of the wake phrase AND of its
+            # phonetic adversaries, labeled negative
+            # (features.get_partial_phrase_features docstring).
             partial = generator.get_partial_phrase_features(partial_samples, testing=testing)
+            partial_adv = generator.get_partial_phrase_features(
+                partial_samples,
+                adversarial=True,
+                adversarial_phrases=adversarial_phrases,
+                testing=testing,
+            )
             negative_specs.append((partial, partial_batch_size))
+            negative_specs.append((partial_adv, partial_batch_size))
         if negative_batch_size > 0:
             negative = cls._hosted_negative(phrase, large=large_negative_dataset)
             if negative is not None:

@@ -69,25 +69,55 @@ ADVERSARIAL_SLIDING_PHRASES = [
 ]
 
 
+def _pipeline_clips(text: str, n: int, seed: int):
+    """Render ``text`` through the SAME TTS pipeline training uses (settings
+    grid, speaker sampling) — direct low-level synthesizer calls produce
+    out-of-distribution audio that measures renderer mismatch, not the model."""
+    from heybuddy_tpu.data.tts_generator import SpeechSampleGenerator
+
+    gen = SpeechSampleGenerator(
+        text, batch_size=min(n, 8), seed=seed, tts_backend="formant",
+        phrase_augment_prob=0.0,
+    )
+    clips = []
+    for sample in gen(n):
+        arr = np.asarray(sample["audio"]["array"], dtype=np.float32)
+        if np.abs(arr).max() > 4.0:  # int16-scale PCM
+            arr = arr / 32768.0
+        clips.append(arr)
+    return clips
+
+
 def synth_speech_stream(minutes: float, seed: int, sample_rate: int = 16000):
-    """Continuous ordinary speech: random phrases, gaps, noise — one array."""
-    from heybuddy_tpu.models.formant import FormantSynthesizer
+    """Continuous ordinary speech: pipeline-rendered random phrases with
+    gaps plus light background noise — one array."""
+    from heybuddy_tpu.data.tts_generator import SpeechSampleGenerator
     from heybuddy_tpu.text.wordlist import WORDS
 
     rng = np.random.default_rng(seed)
-    synth = FormantSynthesizer()
     vocabulary = sorted(set(WORDS))
+    texts = []
+    for _ in range(256):
+        n_words = int(rng.integers(1, 7))
+        texts.append(" ".join(rng.choice(vocabulary, size=n_words, replace=False)))
+    gen = SpeechSampleGenerator(
+        texts[0], additional_phrases=texts[1:], batch_size=8, seed=seed,
+        tts_backend="formant", phrase_augment_prob=0.0,
+    )
     total = int(minutes * 60 * sample_rate)
     out = np.zeros(total, dtype=np.float32)
     pos = 0
-    while pos < total:
-        n_words = int(rng.integers(1, 7))
-        text = " ".join(rng.choice(vocabulary, size=n_words, replace=False))
-        clip = synth.synthesize(text, speaker=int(rng.integers(0, 1024)))
+    # ~1.6 s per phrase incl. gap -> generous sample budget
+    for sample in gen(int(minutes * 60 / 1.2) + 16):
+        clip = np.asarray(sample["audio"]["array"], dtype=np.float32)
+        if np.abs(clip).max() > 4.0:
+            clip = clip / 32768.0
         clip = clip * float(rng.uniform(0.3, 1.0))
         end = min(pos + len(clip), total)
         out[pos:end] = clip[: end - pos]
         pos = end + int(rng.uniform(0.15, 1.2) * sample_rate)  # inter-phrase gap
+        if pos >= total:
+            break
     # light background noise over the whole stream (20-30 dB SNR)
     noise = rng.normal(0.0, 1.0, total).astype(np.float32)
     speech_rms = float(np.sqrt(np.mean(out**2)) + 1e-9)
@@ -145,7 +175,6 @@ def main() -> None:
 
     from heybuddy_tpu.data.features import TrainingFeaturesGenerator
     from heybuddy_tpu.data.training import WakeWordTrainingDatasetIterator
-    from heybuddy_tpu.models.formant import FormantSynthesizer
     from heybuddy_tpu.training.trainer import WakeWordTrainer
     from heybuddy_tpu.utils.log import logger
 
@@ -172,7 +201,18 @@ def main() -> None:
     adv_train = gen.get_training_features(
         args.train_samples, adversarial=True, adversarial_phrases=60
     )
-    partial_train = gen.get_partial_phrase_features(args.partial_samples)
+    partial_train = (
+        gen.get_partial_phrase_features(args.partial_samples)
+        if args.partial_samples > 0
+        else None
+    )
+    partial_adv_train = (
+        gen.get_partial_phrase_features(
+            args.partial_samples, adversarial=True, adversarial_phrases=60
+        )
+        if args.partial_samples > 0
+        else None
+    )
     speech_train = gen.get_negative_speech_features(
         args.train_samples, num_texts=400, seed=args.seed
     )
@@ -187,10 +227,15 @@ def main() -> None:
     )
 
     bs = max(4, min(25, args.train_samples // 8))
+    negative_specs = [(adv_train, bs)]
+    if partial_train is not None:
+        negative_specs.append((partial_train, bs))
+        negative_specs.append((partial_adv_train, bs))
+    negative_specs.append((speech_train, bs))
     training = WakeWordTrainingDatasetIterator(
         num_batch_threads=1,
         positive=[(pos_train, 2 * bs)],
-        negative=[(adv_train, bs), (partial_train, bs), (speech_train, bs)],
+        negative=negative_specs,
     )
 
     logger.info("=== training classifier ===")
@@ -208,16 +253,32 @@ def main() -> None:
     final = os.path.join(ckpt_dir, "quality-eval_final.npz")
     model = trainer.model
 
-    def rate(iterator, op) -> float:
+    def class_scores(iterator) -> np.ndarray:
         feats = iterator.precalculated[:]
-        scores = np.asarray(model(np.asarray(feats, dtype=np.float32))).reshape(-1)
-        return float(np.mean(op(scores)))
+        return np.asarray(model(np.asarray(feats, dtype=np.float32))).reshape(-1)
+
+    def stats(scores: np.ndarray) -> dict:
+        return {
+            "mean": round(float(scores.mean()), 4),
+            "p10": round(float(np.percentile(scores, 10)), 4),
+            "p50": round(float(np.percentile(scores, 50)), 4),
+            "p90": round(float(np.percentile(scores, 90)), 4),
+        }
 
     thr = args.threshold
-    frr = rate(pos_test, lambda s: s < thr)
-    far_adv = rate(adv_test, lambda s: s >= thr)
-    far_speech = rate(speech_test, lambda s: s >= thr)
+    pos_scores = class_scores(pos_test)
+    adv_scores = class_scores(adv_test)
+    speech_scores = class_scores(speech_test)
+    frr = float(np.mean(pos_scores < thr))
+    far_adv = float(np.mean(adv_scores >= thr))
+    far_speech = float(np.mean(speech_scores >= thr))
+    score_stats = {
+        "positive": stats(pos_scores),
+        "adversarial": stats(adv_scores),
+        "speech": stats(speech_scores),
+    }
     logger.info(f"FRR={frr:.4f} FAR_adv={far_adv:.4f} FAR_speech={far_speech:.4f}")
+    logger.info(f"score stats: {score_stats}")
 
     logger.info(f"=== streaming fp/hour over {args.stream_minutes:.0f} min ===")
     stream = synth_speech_stream(args.stream_minutes, seed=args.seed + 31)
@@ -227,14 +288,12 @@ def main() -> None:
     fp_per_hour = detections / hours if hours > 0 else float("nan")
     logger.info(f"stream: {detections} detections in {hours:.2f} h -> {fp_per_hour:.2f}/hr")
 
-    logger.info("=== sliding-offset phrase check ===")
-    synth = FormantSynthesizer()
+    logger.info("=== sliding-offset phrase check (pipeline-rendered) ===")
     rng = np.random.default_rng(args.seed + 5)
     sliding = {}
     for text in [args.phrase] + ADVERSARIAL_SLIDING_PHRASES:
         maxima = []
-        for spk in range(3):
-            clip = synth.synthesize(text, speaker=spk)
+        for clip in _pipeline_clips(text, 3, seed=args.seed + 5):
             ctx = np.zeros(2 * 16000 + len(clip), dtype=np.float32)
             off = int(rng.integers(0, 2 * 16000))
             ctx[off : off + len(clip)] = clip
@@ -256,6 +315,7 @@ def main() -> None:
         "stream_minutes": args.stream_minutes,
         "stream_detections": detections,
         "fp_per_hour": round(fp_per_hour, 3),
+        "score_stats": score_stats,
         "sliding_max_scores": sliding,
         "checkpoint": final,
         "wall_s": round(time.time() - t0, 1),

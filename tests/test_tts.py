@@ -153,9 +153,12 @@ def test_partial_phrase_features_and_iterator_wiring(tmp_path, monkeypatch):
         tts_backend="formant",
         num_adversarial_texts=4,
     )
-    # two negative specs: adversarial + partial views
-    assert len(iterator.negative) == 2
+    # three negative specs: adversarial + positive-partial + adversarial-partial
+    assert len(iterator.negative) == 3
+    import os as _os
+
+    assert _os.path.exists(tmp_path / "hey-buddy-adversarial-partial.npy")
     x, y = next(iter(iterator))
     iterator.stop()
-    assert x.shape[0] == y.shape[0] == 9  # 3 pos + 3 adv + 3 partial
+    assert x.shape[0] == y.shape[0] == 12  # 3 pos + 3 adv + 3+3 partial
     assert int(y.sum()) == 3  # partial views labeled negative
