@@ -472,12 +472,16 @@ def predict(checkpoint: str, audio: str, threshold: float, debug: bool) -> None:
 @click.option("--buffer-size", type=int, default=DEFAULT_LISTEN_BUFFER_SIZE, show_default=True)
 @click.option("--input-wav", type=click.Path(exists=True, dir_okay=False), default=None,
               help="Stream a wav file instead of the microphone (for testing).")
+@click.option("--vad/--no-vad", "use_vad", default=False, is_flag=True,
+              help="Gate inference on VAD hysteresis (skip silent chunks), "
+                   "like the browser runtime.")
 @click.option("--debug/--no-debug", default=False, is_flag=True)
 def listen(
     checkpoints: Tuple[str, ...],
     threshold: float,
     buffer_size: int,
     input_wav: Optional[str],
+    use_vad: bool,
     debug: bool,
 ) -> None:
     """Listen on the microphone and print live wake-word scores."""
@@ -491,6 +495,7 @@ def listen(
             threshold=threshold,
             buffer_size=buffer_size,
             input_wav=input_wav,
+            use_vad=use_vad,
         )
 
 

@@ -104,8 +104,15 @@ def run_listen(
     buffer_size: int = 4096,
     input_wav: Optional[str] = None,
     max_chunks: Optional[int] = None,
+    use_vad: bool = False,
 ) -> List[str]:
-    """Run the listen loop; returns lines of detections (for testing)."""
+    """Run the listen loop; returns lines of detections (for testing).
+
+    ``use_vad`` gates inference on a VAD hysteresis like the reference's
+    browser runtime (vad.ts:108-141): chunks while no speech is active (and
+    none was active within the rolling buffer) skip the wake-word models
+    entirely — the dominant idle-power saving on always-on devices.
+    """
     if _use_serial_inference():
         models: List = [_SerialModel(path, threshold=threshold) for path in checkpoints]
     else:
@@ -115,6 +122,17 @@ def run_listen(
     detections: List[str] = []
     is_tty = sys.stdout.isatty()
 
+    gate = None
+    speech_cooldown = 0
+    if use_vad:
+        from heybuddy_tpu.models.vad import EnergyVAD, VADGate, get_vad_model
+
+        vad = get_vad_model()
+        if isinstance(vad, EnergyVAD):
+            gate = VADGate(vad, positive_threshold=0.5, negative_threshold=0.25)
+        else:
+            gate = VADGate(vad)
+
     chunks = _wav_chunks(input_wav, buffer_size) if input_wav else _mic_chunks(buffer_size)
     try:
         for i, chunk in enumerate(chunks):
@@ -122,6 +140,20 @@ def run_listen(
                 break
             rolling = np.roll(rolling, -len(chunk))
             rolling[-len(chunk) :] = chunk
+            if gate is not None:
+                speaking = False
+                for f in range(0, len(chunk) - 319, 320):  # 20 ms VAD frames
+                    speaking = gate.update(chunk[f : f + 320])
+                if speaking:
+                    # keep scoring until the speech has rolled out of the buffer
+                    speech_cooldown = ROLLING_SAMPLES // max(len(chunk), 1) + 1
+                elif speech_cooldown > 0:
+                    speech_cooldown -= 1
+                else:
+                    if is_tty:
+                        sys.stdout.write("\x1b[2J\x1b[H(listening — no speech)\n")
+                        sys.stdout.flush()
+                    continue
             for model in models:
                 model.put(rolling.copy())
             rows = []

@@ -83,3 +83,35 @@ def test_listen_on_wav(tmp_path, monkeypatch):
     detections = run_listen([ckpt], threshold=0.0, buffer_size=16000, input_wav=wav, max_chunks=3)
     # threshold 0 means every frame with any score > 0 detects
     assert len(detections) >= 1
+
+
+def test_listen_vad_gate_skips_silence(tmp_path, monkeypatch):
+    """With use_vad, silent chunks skip inference; speech chunks still score."""
+    from heybuddy_tpu.models.formant import FormantSynthesizer
+    from heybuddy_tpu.runtime.listen import run_listen
+    from heybuddy_tpu.utils.audio_io import write_wav
+
+    monkeypatch.setenv("HEYBUDDY_LISTEN_SERIAL", "1")
+    model = WakeWordMLPModel(num_layers=0)
+    ckpt = str(tmp_path / "m.npz")
+    model.save(ckpt)
+
+    synth = FormantSynthesizer()
+    clip = synth.synthesize("hey buddy how are you", speaker=3)
+    rng = np.random.default_rng(0)
+    ambient = rng.normal(0, 3e-4, 32000).astype(np.float32)
+    audio = np.concatenate([ambient, clip, ambient])
+    wav = str(tmp_path / "gated.wav")
+    write_wav(wav, audio, 16000)
+
+    # all-silence input: the gate never opens -> zero detections even at thr 0
+    silent_wav = str(tmp_path / "silent.wav")
+    write_wav(silent_wav, rng.normal(0, 3e-4, 64000).astype(np.float32), 16000)
+    silent = run_listen([ckpt], threshold=0.0, buffer_size=8000,
+                        input_wav=silent_wav, use_vad=True)
+    assert silent == []
+
+    # speech input: the gate opens and inference runs (thr 0 -> detections)
+    speech = run_listen([ckpt], threshold=0.0, buffer_size=8000,
+                        input_wav=wav, use_vad=True)
+    assert len(speech) >= 1
