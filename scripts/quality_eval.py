@@ -53,6 +53,10 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--stream-minutes", type=float, default=60.0)
     p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--mine-rounds", type=int, default=2,
+                   help="hard-negative mining rounds (stream -> harvest FPs -> retrain)")
+    p.add_argument("--mine-floor", type=float, default=0.2,
+                   help="mine windows scoring at or above this")
     return p.parse_args()
 
 
@@ -88,20 +92,13 @@ def _pipeline_clips(text: str, n: int, seed: int):
     return clips
 
 
-def synth_speech_stream(minutes: float, seed: int, sample_rate: int = 16000):
-    """Continuous ordinary speech: pipeline-rendered random phrases with
-    gaps plus light background noise — one array."""
+def _texts_to_stream(texts, minutes: float, seed: int, sample_rate: int = 16000):
+    """Render a weighted text list as one continuous stream with gaps/noise."""
     from heybuddy_tpu.data.tts_generator import SpeechSampleGenerator
-    from heybuddy_tpu.text.wordlist import WORDS
 
     rng = np.random.default_rng(seed)
-    vocabulary = sorted(set(WORDS))
-    texts = []
-    for _ in range(256):
-        n_words = int(rng.integers(1, 7))
-        texts.append(" ".join(rng.choice(vocabulary, size=n_words, replace=False)))
     gen = SpeechSampleGenerator(
-        texts[0], additional_phrases=texts[1:], batch_size=8, seed=seed,
+        texts[0], additional_phrases=list(texts[1:]), batch_size=8, seed=seed,
         tts_backend="formant", phrase_augment_prob=0.0,
     )
     total = int(minutes * 60 * sample_rate)
@@ -126,19 +123,66 @@ def synth_speech_stream(minutes: float, seed: int, sample_rate: int = 16000):
     return np.clip(out + noise, -1.0, 1.0)
 
 
-def sliding_scores(model, stream: np.ndarray, batch: int = 1024,
-                   window: int = 23040, stride: int = 1920) -> np.ndarray:
-    """Classifier score for every sliding window position over the stream."""
+def synth_speech_stream(minutes: float, seed: int, exclude_phrase: str = ""):
+    """Continuous ordinary speech: pipeline-rendered random phrases (wake
+    words excluded) with gaps plus light background noise — one array."""
+    from heybuddy_tpu.text.wordlist import WORDS
+
+    rng = np.random.default_rng(seed)
+    vocabulary = sorted(set(WORDS) - set(exclude_phrase.lower().split()))
+    texts = []
+    for _ in range(256):
+        n_words = int(rng.integers(1, 7))
+        texts.append(" ".join(rng.choice(vocabulary, size=n_words, replace=False)))
+    return _texts_to_stream(texts, minutes, seed)
+
+
+def synth_adversarial_stream(phrase: str, minutes: float, seed: int):
+    """Continuous stream of phonetic near-collisions of ``phrase`` — the
+    hard-negative mining surface for sliding-offset false accepts."""
+    from heybuddy_tpu.text.adversarial import get_adversarial_text_generator
+
+    texts = list(get_adversarial_text_generator()(phrase, num_samples=120, seed=seed))
+    return _texts_to_stream(texts, minutes, seed + 1)
+
+
+def sliding_features_scores(model, stream: np.ndarray, batch: int = 1024,
+                            window: int = 23040, stride: int = 1920):
+    """(features, scores) for every sliding window position over the stream.
+
+    Features are computed ONCE through the shared featurizer, so mining can
+    reuse the exact (16, 96) inputs the classifier saw.
+    """
+    from heybuddy_tpu.models.featurizer import get_speech_embeddings
+
+    emb = get_speech_embeddings()
     n = max((len(stream) - window) // stride + 1, 0)
+    feats = np.zeros((n, 16, 96), dtype=np.float32)
     scores = np.zeros(n, dtype=np.float32)
     starts = np.arange(n) * stride
     for i in range(0, n, batch):
         chunk_starts = starts[i : i + batch]
         clips = np.stack([stream[s : s + window] for s in chunk_starts])
-        scores[i : i + batch] = np.asarray(
-            model.predict(clips, return_scores=True)
-        )
-    return scores
+        f = np.asarray(emb(clips), dtype=np.float32)
+        feats[i : i + batch] = f
+        scores[i : i + batch] = np.asarray(model(f)).reshape(-1)
+    return feats, scores
+
+
+def sliding_scores(model, stream: np.ndarray, batch: int = 1024,
+                   window: int = 23040, stride: int = 1920) -> np.ndarray:
+    """Classifier score for every sliding window position over the stream."""
+    return sliding_features_scores(model, stream, batch, window, stride)[1]
+
+
+def operating_threshold(scores: np.ndarray, hours: float,
+                        target_per_hour: float = 1.5) -> float:
+    """Smallest grid threshold whose debounced detection rate meets the
+    reference's operating target (constants.py:85, 1.5 false wakes/hour)."""
+    for thr in np.arange(0.5, 1.0, 0.01):
+        if count_detections(scores, float(thr)) / max(hours, 1e-9) <= target_per_hour:
+            return round(float(thr), 2)
+    return 1.0
 
 
 def count_detections(scores: np.ndarray, threshold: float, debounce_windows: int = 16) -> int:
@@ -226,29 +270,68 @@ def main() -> None:
         args.heldout_samples, num_texts=200, seed=args.seed + 77
     )
 
-    bs = max(4, min(25, args.train_samples // 8))
-    negative_specs = [(adv_train, bs)]
-    if partial_train is not None:
-        negative_specs.append((partial_train, bs))
-        negative_specs.append((partial_adv_train, bs))
-    negative_specs.append((speech_train, bs))
-    training = WakeWordTrainingDatasetIterator(
-        num_batch_threads=1,
-        positive=[(pos_train, 2 * bs)],
-        negative=negative_specs,
-    )
+    from heybuddy_tpu.data.precalculated import PrecalculatedDatasetIterator
 
-    logger.info("=== training classifier ===")
-    trainer = WakeWordTrainer(checkpoint_dir=ckpt_dir)
-    trainer.train_epoch(
-        training,
-        num_steps=args.steps,
-        validation_steps=args.steps + 1,  # no mid-train validation
-        checkpoint_steps=args.steps + 1,
-        logging_steps=max(args.steps // 10, 1),
-        name="quality-eval",
-    )
-    training.stop()
+    bs = max(4, min(25, args.train_samples // 8))
+
+    def train_model(mined: list, label: str):
+        negative_specs = [(adv_train, bs)]
+        if partial_train is not None:
+            negative_specs.append((partial_train, bs))
+            negative_specs.append((partial_adv_train, bs))
+        negative_specs.append((speech_train, bs))
+        if mined:
+            mined_arr = np.concatenate(mined).astype(np.float32)
+            negative_specs.append(
+                (PrecalculatedDatasetIterator("mined", data=mined_arr, seed=args.seed), bs)
+            )
+            logger.info(f"training with {len(mined_arr)} mined hard negatives")
+        training = WakeWordTrainingDatasetIterator(
+            num_batch_threads=1,
+            positive=[(pos_train, 2 * bs)],
+            negative=negative_specs,
+        )
+        logger.info(f"=== training classifier ({label}) ===")
+        trainer = WakeWordTrainer(checkpoint_dir=ckpt_dir, seed=args.seed)
+        trainer.train_epoch(
+            training,
+            num_steps=args.steps,
+            validation_steps=args.steps + 1,  # no mid-train validation
+            checkpoint_steps=args.steps + 1,
+            logging_steps=max(args.steps // 10, 1),
+            name="quality-eval",
+        )
+        training.stop()
+        return trainer
+
+    # --- hard-negative mining rounds ---------------------------------------
+    # Train, stream ordinary speech + adversarial phrases through the sliding
+    # runtime, harvest every window scoring above the mining floor as a
+    # negative, retrain. This targets exactly the operating metric (false
+    # wakes per hour), which per-clip training negatives under-represent.
+    mined: list = []
+    mine_minutes = max(args.stream_minutes / 4.0, 1.0)
+    trainer = train_model(mined, "round 0")
+    for r in range(args.mine_rounds):
+        model = trainer.model
+        speech_stream = synth_speech_stream(
+            mine_minutes, seed=args.seed + 100 + r, exclude_phrase=args.phrase
+        )
+        adv_stream = synth_adversarial_stream(
+            args.phrase, max(mine_minutes / 2.0, 1.0), seed=args.seed + 200 + r
+        )
+        new_mined = 0
+        for stream in (speech_stream, adv_stream):
+            feats, scores = sliding_features_scores(model, stream)
+            hard = feats[scores >= args.mine_floor]
+            new_mined += len(hard)
+            if len(hard):
+                mined.append(hard)
+        logger.info(f"mining round {r + 1}: {new_mined} hard negatives harvested")
+        if new_mined == 0:
+            break
+        trainer = train_model(mined, f"round {r + 1}")
+
     trainer.save_checkpoint("quality-eval_final")
     final = os.path.join(ckpt_dir, "quality-eval_final.npz")
     model = trainer.model
@@ -281,12 +364,23 @@ def main() -> None:
     logger.info(f"score stats: {score_stats}")
 
     logger.info(f"=== streaming fp/hour over {args.stream_minutes:.0f} min ===")
-    stream = synth_speech_stream(args.stream_minutes, seed=args.seed + 31)
+    stream = synth_speech_stream(
+        args.stream_minutes, seed=args.seed + 31, exclude_phrase=args.phrase
+    )
     scores = sliding_scores(model, stream)
     detections = count_detections(scores, thr)
     hours = args.stream_minutes / 60.0
     fp_per_hour = detections / hours if hours > 0 else float("nan")
     logger.info(f"stream: {detections} detections in {hours:.2f} h -> {fp_per_hour:.2f}/hr")
+
+    # Operating point: the threshold meeting the reference's 1.5 false
+    # wakes/hour target on this stream, and the recall cost of running there.
+    op_thr = operating_threshold(scores, hours)
+    op_frr = float(np.mean(pos_scores < op_thr))
+    op_fp_per_hour = count_detections(scores, op_thr) / max(hours, 1e-9)
+    logger.info(
+        f"operating point: thr={op_thr} -> {op_fp_per_hour:.2f} fp/hr, FRR={op_frr:.4f}"
+    )
 
     logger.info("=== sliding-offset phrase check (pipeline-rendered) ===")
     rng = np.random.default_rng(args.seed + 5)
@@ -315,6 +409,11 @@ def main() -> None:
         "stream_minutes": args.stream_minutes,
         "stream_detections": detections,
         "fp_per_hour": round(fp_per_hour, 3),
+        "mine_rounds": args.mine_rounds,
+        "mined_negatives": int(sum(len(m) for m in mined)),
+        "operating_threshold": op_thr,
+        "operating_fp_per_hour": round(float(op_fp_per_hour), 3),
+        "operating_frr": round(op_frr, 4),
         "score_stats": score_stats,
         "sliding_max_scores": sliding,
         "checkpoint": final,
