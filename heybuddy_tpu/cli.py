@@ -286,6 +286,10 @@ def combine(
                    "as hard negatives (teaches the window-edge behavior the runtime's "
                    "sliding window sees; fixes partial-phrase false accepts).")
 @click.option("--partial-batch-size", type=int, default=DEFAULT_PARTIAL_BATCH_SIZE)
+@click.option("--stream-negative-samples", type=int, default=0, show_default=True,
+              help="Generate this many sliding-window negatives from continuous "
+                   "speech/adversarial streams (the distribution the deployed runtime "
+                   "scores; cuts false wakes per hour).")
 @click.option("--adversarial-batch-size", type=int, default=DEFAULT_ADVERSARIAL_BATCH_SIZE)
 @click.option("--num-batch-threads", type=int, default=DEFAULT_BATCH_THREADS)
 @click.option("--validation-positive-batch-size", type=int, default=DEFAULT_VALIDATION_POSITIVE_BATCH_SIZE)
@@ -358,6 +362,7 @@ def train(phrase: str, **kwargs: Any) -> None:
             negative_batch_size=negative_batch_size,
             partial_samples=kwargs.pop("partial_samples"),
             partial_batch_size=kwargs.pop("partial_batch_size"),
+            stream_negative_samples=kwargs.pop("stream_negative_samples"),
             num_batch_threads=kwargs.pop("num_batch_threads"),
             large_negative_dataset=training_default_size in ("large", "full"),
             synthetic_negative_samples=kwargs.pop("synthetic_negative_samples"),

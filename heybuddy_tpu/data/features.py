@@ -375,6 +375,95 @@ class TrainingFeaturesGenerator:
             logger.info(f"Using {num_samples} cached partial-view features for '{name}'")
         return PrecalculatedDatasetIterator(name, directory=self.directory, seed=self.seed)
 
+    def get_stream_window_features(
+        self,
+        num_samples: int,
+        adversarial: bool = False,
+        seed: Optional[int] = None,
+    ) -> PrecalculatedDatasetIterator:
+        """
+        Sliding-window NEGATIVES from a continuous speech stream: every
+        runtime window position (1.44 s window, 0.12 s stride) of synthesized
+        ordinary speech (``adversarial=False``, wake-phrase words excluded) or
+        of phonetic near-collisions (``adversarial=True``).
+
+        This is the distribution the deployed runtime actually scores — clip
+        negatives under-represent it (a model passing held-out clip FAR can
+        still false-fire hundreds of times per hour on streams because stream
+        windows straddle phrase boundaries at every offset). Windows are
+        featurized EXACTLY as the runtime sees them: no re-augmentation, the
+        stream already carries gain variation, gaps, and background noise
+        (data/streams.py). No reference equivalent (it relies on hosted
+        real-speech negative sets for this role).
+        """
+        from heybuddy_tpu.data.streams import (
+            RUNTIME_WINDOW_STRIDE,
+            synth_adversarial_stream,
+            synth_speech_stream,
+        )
+        from heybuddy_tpu.models.featurizer import get_speech_embeddings
+
+        seed = self.seed if seed is None else seed
+        kind = "adversarial-stream" if adversarial else "speech-stream"
+        phrase_slug = safe_name(self.phrase_key)
+        name = (
+            f"{phrase_slug}-{kind}-{seed}"
+            if adversarial
+            else f"negative-{kind}-{seed}-x{phrase_slug}"
+        )
+        os.makedirs(self.directory, exist_ok=True)
+        path = os.path.join(self.directory, f"{name}.npy")
+
+        from heybuddy_tpu.constants import CLIP_SAMPLES
+        from heybuddy_tpu.data.space import check_cache_space, write_space_sidecar
+
+        if os.path.exists(path) and not check_cache_space(path):
+            os.remove(path)
+        store = AppendableNpyFile(path)
+        write_space_sidecar(path)
+        existing = len(store)
+        if existing < num_samples:
+            missing = num_samples - existing
+            logger.info(f"Generating {missing} {kind} window features for '{name}'")
+            embeddings = get_speech_embeddings()
+            stride = RUNTIME_WINDOW_STRIDE
+            written = 0
+            while written < missing:
+                # Bounded segments keep host memory flat: ~2 min of stream
+                # yields ~1000 windows per featurization pass. Seeding by the
+                # absolute row offset keeps top-ups reproducible.
+                seg_windows = min(missing - written, 1000)
+                seg_seconds = (seg_windows * stride + CLIP_SAMPLES) / 16000.0
+                seg_seed = seed + 7919 * (existing + written)
+                if adversarial:
+                    stream = synth_adversarial_stream(
+                        self.phrase, seg_seconds / 60.0, seg_seed,
+                        tts_backend=self.tts_backend,
+                    )
+                else:
+                    stream = synth_speech_stream(
+                        seg_seconds / 60.0, seg_seed, exclude_phrase=self.phrase,
+                        tts_backend=self.tts_backend,
+                    )
+                n = min((len(stream) - CLIP_SAMPLES) // stride + 1, seg_windows)
+                for i in range(0, n, self.embed_batch_size):
+                    take = min(self.embed_batch_size, n - i, missing - written)
+                    if take <= 0:
+                        break
+                    clips = np.stack(
+                        [
+                            stream[s : s + CLIP_SAMPLES]
+                            for s in (np.arange(i, i + take) * stride)
+                        ]
+                    )
+                    device_arr, n_real = embeddings.featurize_device(clips)
+                    feats = np.asarray(device_arr)[:n_real]
+                    store.append(feats.astype(np.float32))
+                    written += n_real
+        else:
+            logger.info(f"Using {num_samples} cached {kind} window features for '{name}'")
+        return PrecalculatedDatasetIterator(name, directory=self.directory, seed=seed)
+
     def get_negative_speech_features(
         self,
         num_samples: int,

@@ -1,0 +1,132 @@
+"""
+Continuous-speech stream synthesis and sliding-window featurization.
+
+The deployed runtime never sees isolated clips: it scores a 1.44 s window
+sliding 0.12 s at a time over continuous audio (browser batcher,
+reference hey-buddy.ts:140-141; `listen`, reference __main__.py:466-597).
+Per-clip negatives under-represent that distribution — a model can pass
+held-out clip FAR while false-firing hundreds of times per hour on a
+stream, because stream windows straddle phrase boundaries at every offset
+(measured: 1.8% clip FAR / 243 false wakes per hour pre-mining).
+
+This module makes the stream distribution a first-class data source:
+
+* ``synth_speech_stream`` — continuous ordinary speech (random phrases,
+  wake words excluded) with inter-phrase gaps and light background noise,
+  rendered through the SAME TTS pipeline training uses.
+* ``synth_adversarial_stream`` — continuous phonetic near-collisions of the
+  wake phrase (the hard-negative surface for sliding-offset false accepts).
+* ``stream_window_clips`` — every runtime window position of a stream as a
+  (n, window) clip batch.
+
+Used by ``TrainingFeaturesGenerator.get_stream_window_features`` (training
+coverage) and ``scripts/quality_eval.py`` (the fp/hour operating metric and
+hard-negative mining). No reference equivalent: the reference trains on
+clips only and relies on its hosted real-speech negative sets.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from heybuddy_tpu.constants import CLIP_SAMPLES, SAMPLE_RATE
+
+__all__ = [
+    "synth_speech_stream",
+    "synth_adversarial_stream",
+    "stream_window_clips",
+    "RUNTIME_WINDOW_STRIDE",
+]
+
+# The browser batcher fires every 0.12 s (reference hey-buddy.ts:141) = 1920
+# samples at 16 kHz — the stride at which deployed models actually score.
+RUNTIME_WINDOW_STRIDE = 1920
+
+
+def texts_to_stream(
+    texts: Sequence[str],
+    minutes: float,
+    seed: int,
+    sample_rate: int = SAMPLE_RATE,
+    tts_backend: Optional[str] = None,
+    snr_db_range: tuple = (20.0, 30.0),
+) -> np.ndarray:
+    """Render a weighted text list as one continuous float32 stream in
+    [-1, 1]: phrases with random gain, inter-phrase gaps of 0.15-1.2 s, and
+    light white background noise at a random SNR."""
+    from heybuddy_tpu.data.tts_generator import SpeechSampleGenerator
+
+    rng = np.random.default_rng(seed)
+    gen = SpeechSampleGenerator(
+        texts[0], additional_phrases=list(texts[1:]), batch_size=8, seed=seed,
+        tts_backend=tts_backend, phrase_augment_prob=0.0,
+    )
+    total = int(minutes * 60 * sample_rate)
+    out = np.zeros(total, dtype=np.float32)
+    pos = 0
+    # ~1.6 s per phrase incl. gap -> generous sample budget
+    for sample in gen(int(minutes * 60 / 1.2) + 16):
+        clip = np.asarray(sample["audio"]["array"], dtype=np.float32)
+        if np.abs(clip).max() > 4.0:  # int16-scale PCM
+            clip = clip / 32768.0
+        clip = clip * float(rng.uniform(0.3, 1.0))
+        end = min(pos + len(clip), total)
+        out[pos:end] = clip[: end - pos]
+        pos = end + int(rng.uniform(0.15, 1.2) * sample_rate)
+        if pos >= total:
+            break
+    noise = rng.normal(0.0, 1.0, total).astype(np.float32)
+    speech_rms = float(np.sqrt(np.mean(out**2)) + 1e-9)
+    snr_db = float(rng.uniform(*snr_db_range))
+    noise *= speech_rms / (10 ** (snr_db / 20.0)) / (np.sqrt(np.mean(noise**2)) + 1e-9)
+    return np.clip(out + noise, -1.0, 1.0)
+
+
+def synth_speech_stream(
+    minutes: float,
+    seed: int,
+    exclude_phrase: str = "",
+    num_texts: int = 256,
+    tts_backend: Optional[str] = None,
+) -> np.ndarray:
+    """Continuous ordinary speech: pipeline-rendered random phrases (words of
+    ``exclude_phrase`` removed from the vocabulary) with gaps plus noise."""
+    from heybuddy_tpu.text.wordlist import WORDS
+
+    rng = np.random.default_rng(seed)
+    vocabulary = sorted(set(WORDS) - set(exclude_phrase.lower().split()))
+    texts: List[str] = []
+    for _ in range(num_texts):
+        n_words = int(rng.integers(1, 7))
+        texts.append(" ".join(rng.choice(vocabulary, size=n_words, replace=False)))
+    return texts_to_stream(texts, minutes, seed, tts_backend=tts_backend)
+
+
+def synth_adversarial_stream(
+    phrase: str,
+    minutes: float,
+    seed: int,
+    num_texts: int = 120,
+    tts_backend: Optional[str] = None,
+) -> np.ndarray:
+    """Continuous stream of phonetic near-collisions of ``phrase``."""
+    from heybuddy_tpu.text.adversarial import get_adversarial_text_generator
+
+    texts = list(get_adversarial_text_generator()(phrase, num_samples=num_texts, seed=seed))
+    return texts_to_stream(texts, minutes, seed + 1, tts_backend=tts_backend)
+
+
+def stream_window_clips(
+    stream: np.ndarray,
+    window: int = CLIP_SAMPLES,
+    stride: int = RUNTIME_WINDOW_STRIDE,
+) -> np.ndarray:
+    """(t,) stream -> (n, window) float32 batch of every runtime window
+    position, exactly what the sliding runtime scores."""
+    n = max((len(stream) - window) // stride + 1, 0)
+    if n == 0:
+        return np.zeros((0, window), dtype=np.float32)
+    starts = np.arange(n) * stride
+    return np.stack([stream[s : s + window] for s in starts]).astype(np.float32)

@@ -236,6 +236,7 @@ class WakeWordTrainingDatasetIterator(TrainingDatasetIterator):
         negative_batch_size: int = DEFAULT_NEGATIVE_BATCH_SIZE,
         partial_samples: int = 0,
         partial_batch_size: int = DEFAULT_PARTIAL_BATCH_SIZE,
+        stream_negative_samples: int = 0,
         num_batch_threads: int = DEFAULT_BATCH_THREADS,
         large_negative_dataset: bool = False,
         synthetic_negative_samples: int = 0,
@@ -289,6 +290,19 @@ class WakeWordTrainingDatasetIterator(TrainingDatasetIterator):
         if synthetic_negative_samples > 0 and not testing:
             synthetic = generator.get_negative_speech_features(synthetic_negative_samples)
             negative_specs.append((synthetic, max(negative_batch_size, adversarial_batch_size)))
+        if stream_negative_samples > 0 and not testing:
+            # Sliding-window negatives from continuous speech/adversarial
+            # streams — the distribution the deployed runtime actually scores
+            # (features.get_stream_window_features docstring). Clip negatives
+            # alone under-represent it: models passing held-out clip FAR can
+            # still false-fire hundreds of times per hour on streams.
+            speech_stream = generator.get_stream_window_features(stream_negative_samples)
+            adv_stream = generator.get_stream_window_features(
+                max(stream_negative_samples // 2, 1), adversarial=True
+            )
+            stream_bs = max(partial_batch_size, adversarial_batch_size)
+            negative_specs.append((speech_stream, stream_bs))
+            negative_specs.append((adv_stream, stream_bs))
         return cls(
             num_batch_threads=num_batch_threads,
             positive=positive_specs,
@@ -320,9 +334,18 @@ class WakeWordTrainingDatasetIterator(TrainingDatasetIterator):
         positive_batch_size: int = DEFAULT_VALIDATION_POSITIVE_BATCH_SIZE,
         negative_batch_size: int = DEFAULT_VALIDATION_NEGATIVE_BATCH_SIZE,
         num_batch_threads: int = 2,
+        stream_negative_samples: int = 0,
         **feature_kwargs: Any,
     ) -> "WakeWordTrainingDatasetIterator":
-        """Validation iterator: pad-only positives + hosted negative validation set."""
+        """Validation iterator: pad-only positives + hosted negative validation set.
+
+        ``stream_negative_samples`` adds sliding-window negatives from a
+        continuous synthetic speech stream (fresh seed, disjoint from the
+        training stream windows). Without hosted sets the validation
+        iterator would otherwise have NO negatives, so the trainer's dynamic
+        negative-weight controller (the reference's fp-per-hour control loop,
+        reference trainer.py:511-536) never engages in air-gapped runs.
+        """
         from heybuddy_tpu.data.features import TrainingFeaturesGenerator
 
         generator = TrainingFeaturesGenerator(phrase=phrase, **feature_kwargs)
@@ -340,13 +363,18 @@ class WakeWordTrainingDatasetIterator(TrainingDatasetIterator):
                 negative_specs.append((PrecalculatedValidationDataset(), negative_batch_size))
             except FileNotFoundError as ex:
                 logger.warning(f"Hosted validation negatives unavailable: {ex}")
+        if stream_negative_samples > 0:
+            stream = generator.get_stream_window_features(
+                stream_negative_samples, seed=generator.seed + 7700
+            )
+            negative_specs.append((stream, negative_batch_size))
         iterator = cls(
             num_batch_threads=num_batch_threads,
             positive=positive_specs,
             negative=negative_specs,
         )
         # one full pass over the validation set per eval (reference training.py:697-700)
-        negative_count = len(negative_specs[0][0]) if negative_specs else 0
+        negative_count = max((len(spec[0]) for spec in negative_specs), default=0)
         iterator.max_samples = max(
             negative_count // max(negative_batch_size, 1),
             validation_samples // max(positive_batch_size, 1),
@@ -381,6 +409,7 @@ class WakeWordTrainingDatasetIterator(TrainingDatasetIterator):
                 "negative_batch_size",
                 "partial_samples",
                 "partial_batch_size",
+                "stream_negative_samples",
                 "num_batch_threads",
                 "large_negative_dataset",
                 "synthetic_negative_samples",
@@ -390,7 +419,16 @@ class WakeWordTrainingDatasetIterator(TrainingDatasetIterator):
         validation = None
         testing = None
         if validation_samples > 0:
-            validation = cls.validation(phrase, validation_samples=validation_samples, **feature_kwargs)
+            # When training uses stream-window negatives, validate against the
+            # same distribution (fresh seed) so the dynamic negative-weight
+            # controller regulates the actual operating metric offline.
+            stream_validation = min(kwargs.get("stream_negative_samples", 0), 2000)
+            validation = cls.validation(
+                phrase,
+                validation_samples=validation_samples,
+                stream_negative_samples=stream_validation,
+                **feature_kwargs,
+            )
         if testing_positive_samples > 0 or testing_adversarial_samples > 0:
             testing = cls.testing(
                 phrase,

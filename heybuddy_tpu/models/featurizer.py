@@ -66,15 +66,24 @@ def featurize_batch(
     banded path elsewhere (see ``_resolve_pooling``). ``"banded"`` runs the
     window pooling as two fat matmuls (embedding_net.apply_spectrogram_banded);
     ``"gather"`` keeps the original gather + batched-einsum formulation
-    (identical math, slower on TPU); ``"fused"`` forces the Pallas pipeline
-    (ops/pallas/): mel + trunk + pool each stay in VMEM, eliminating the ~10
-    HBM-round-trip intermediates that bound the XLA paths on this device.
+    (identical math, slower on TPU); ``"fused"`` forces the production Pallas
+    pipeline (ops/pallas/): mel + trunk + pool each stay in VMEM, eliminating
+    the ~10 HBM-round-trip intermediates that bound the XLA paths on this
+    device; ``"mega"`` runs the single audio->embedding kernel
+    (ops/pallas/featurize_kernel.py) — numerically exact vs "fused" but
+    measured SLOWER on v5e (9.1 vs 7.2 ms per 2048 clips): the spectrogram
+    round-trip it eliminates was already hidden by Pallas grid pipelining,
+    while its HIGHEST-precision redistribution matmuls are not free (PERF.md).
     """
     if audio.ndim == 1:
         audio = audio[None, :]
     b, t = audio.shape
     pooling = _resolve_pooling(pooling)
     starts = embedding_window_starts(t)
+    if pooling == "mega":
+        from heybuddy_tpu.ops.pallas.featurize_kernel import fused_featurize
+
+        return fused_featurize(params, audio, starts, config=config)
     if pooling == "fused":
         from heybuddy_tpu.ops.pallas.embedding_kernel import fused_embedding_windows
         from heybuddy_tpu.ops.pallas.melspec_kernel import mel_spectrogram_pallas

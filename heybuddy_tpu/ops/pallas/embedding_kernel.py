@@ -46,6 +46,156 @@ from heybuddy_tpu.models.embedding_net import EmbeddingNetConfig, _band_constant
 
 __all__ = ["fused_embedding_windows"]
 
+GELU_K = np.float32(1.0 / np.sqrt(2.0))
+
+
+def _erf(x):
+    # Abramowitz & Stegun 7.1.26 (|err| < 1.5e-7): Mosaic has no erf.
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    tt = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = tt * (0.254829592 + tt * (-0.284496736 + tt * (1.421413741
+           + tt * (-1.453152027 + tt * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _rms(v, compute):
+    vf = v.astype(jnp.float32)
+    mean = jnp.mean(vf, axis=-1, keepdims=True)
+    centered = vf - mean
+    ms = jnp.mean(centered * centered, axis=-1, keepdims=True)
+    return (centered * jax.lax.rsqrt(ms + 1e-6)).astype(compute)
+
+
+def _batched_dot(a, bmat):
+    """Batched matmul with BOTH batch dims at position 0 (the only batched
+    ``dot_general`` form Mosaic lowers on this device)."""
+    return jax.lax.dot_general(
+        a, bmat,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _trunk_pool_body(
+    x,
+    band, posp, tile_h, gs, sel_h,
+    w_patch, b_patch, up_w, up_b, dn_w, dn_b, q, w_head, b_head,
+    *,
+    T: int, P: int, heads: int, hidden: int, n_windows: int, n_blocks: int,
+    compute,
+):
+    """
+    Value-level kernel math shared by ``fused_embedding_windows`` and the
+    audio->embedding mega-kernel (featurize_kernel.py): patches
+    (T*P, patch_dim) -> (T, n_windows, 96). Every construct here is probed to
+    lower on Mosaic (see module docstring).
+    """
+    wh = n_windows * heads
+    # ---- trunk over all patches (2D, leading merge) -------------------------
+    feats = (
+        jnp.dot(_rms(x, compute), w_patch, preferred_element_type=jnp.float32) + b_patch[0]
+    ).astype(compute)
+    for i in range(n_blocks):
+        h = jnp.dot(_rms(feats, compute), up_w[i], preferred_element_type=jnp.float32) + up_b[i]
+        h = (0.5 * h * (1.0 + _erf(h * GELU_K))).astype(compute)
+        feats = feats + (
+            jnp.dot(h, dn_w[i], preferred_element_type=jnp.float32) + dn_b[i]
+        ).astype(compute)
+
+    # ---- patch scores & band weights ----------------------------------------
+    a = jnp.dot(feats, q, preferred_element_type=jnp.float32)  # (T*P, H)
+    a3 = a.reshape(T, P, heads)
+    a3 = a3 - jnp.max(a3, axis=1, keepdims=True)
+    ea = jnp.exp(a3)                                          # (T, P, H) f32
+    ea_t = jnp.swapaxes(ea, 1, 2)                             # (T, H, P)
+    tile_b = jnp.broadcast_to(tile_h, (T, wh, heads))
+    e_sel = _batched_dot(tile_b, ea_t)                        # (T, WH, P)
+    bw = band[None] * e_sel
+    denom = jnp.sum(bw, axis=2, keepdims=True)                # (T, WH, 1)
+    weights = (bw / (denom + 1e-30)).astype(compute)
+
+    # ---- pooled = W @b feats + W @wh POSP ------------------------------------
+    feats3 = feats.reshape(T, P, hidden)
+    numer1 = _batched_dot(weights, feats3)                    # (T, WH, hidden)
+    # Mosaic requires both batch dims at position 0 (probed: mixed positions
+    # fail with "batch dims must be equal"), so swap WH to the front, run the
+    # batched dot, and swap back (leading-dim swapaxes is supported).
+    weights_whT = jnp.swapaxes(weights, 0, 1)                 # (WH, T, P)
+    numer2 = _batched_dot(weights_whT, posp)                  # (WH, T, hidden)
+    pooled = numer1 + jnp.swapaxes(numer2, 0, 1)              # (T, WH, hidden) f32
+
+    # ---- grouped rms over each window's (heads*hidden) -----------------------
+    denom_n = float(heads * hidden)
+    rowsum = jnp.sum(pooled, axis=2)                          # (T, WH)
+    mean_w = jnp.dot(rowsum, gs, preferred_element_type=jnp.float32) / denom_n
+    mean_rep = jnp.dot(mean_w, gs.T, preferred_element_type=jnp.float32)
+    centered = pooled - mean_rep[:, :, None]
+    sqsum = jnp.sum(centered * centered, axis=2)              # (T, WH)
+    ms_w = jnp.dot(sqsum, gs, preferred_element_type=jnp.float32) / denom_n
+    scale_w = jax.lax.rsqrt(ms_w + 1e-6)
+    scale_rep = jnp.dot(scale_w, gs.T, preferred_element_type=jnp.float32)
+    norm = (centered * scale_rep[:, :, None]).astype(compute)  # (T, WH, hidden)
+
+    # ---- head: out = sum_h (SEL_h @b norm) @ W_head[h] ------------------------
+    out = None
+    for h in range(heads):
+        sel_b = jnp.broadcast_to(sel_h[h], (T, n_windows, wh)).astype(compute)
+        norm_h = _batched_dot(sel_b, norm).astype(compute)     # (T, W, hidden)
+        part = jax.lax.dot_general(
+            norm_h, w_head[h * hidden : (h + 1) * hidden],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                      # (T, W, 96)
+        out = part if out is None else out + part
+    return out + b_head[0][None, None]
+
+
+def _pool_constants(
+    params: Dict[str, Any],
+    starts: Tuple[int, ...],
+    cfg: EmbeddingNetConfig,
+    num_patches: int,
+    p_pad_to: int,
+):
+    """XLA-side (cheap, parameter-dependent) constants for the pooling stage:
+    band weights, positional pooled contributions, and the 0/1 selectors."""
+    n_windows = len(starts)
+    heads = cfg.pool_heads
+    hidden = cfg.hidden_dim
+    wh = n_windows * heads
+    consts = _selector_constants(
+        starts, cfg.patch_frames, cfg.window_patches, num_patches, heads
+    )
+    q = jnp.asarray(params["pool_query"], jnp.float32)          # (hidden, H)
+    pos = jnp.asarray(params["pos"], jnp.float32)               # (19, hidden)
+    c = pos @ q                                                  # (19, H)
+    exp_c = jnp.exp(c - jnp.max(c))
+    band = (
+        jnp.transpose(jnp.take(exp_c, jnp.asarray(consts["k_index"]), axis=0), (0, 2, 1))
+        * jnp.asarray(consts["selector"])[:, None, :]
+    ).reshape(wh, num_patches)                                   # (WH, P) f32
+    band = jnp.pad(band, ((0, 0), (0, p_pad_to - num_patches)))
+    # POSP[wh, p, :] = pos[k(w,p), :] on the band (zeros elsewhere)
+    posp = (
+        jnp.take(pos, jnp.asarray(consts["k_index"]), axis=0)
+        * jnp.asarray(consts["selector"])[:, :, None]
+    )  # (W, P, hidden) f32
+    posp = jnp.broadcast_to(posp[:, None], (n_windows, heads, num_patches, hidden)).reshape(
+        wh, num_patches, hidden
+    )
+    posp = jnp.pad(
+        posp, ((0, 0), (0, p_pad_to - num_patches), (0, 0))
+    ).astype(jnp.bfloat16)
+    return {
+        "band": band,
+        "posp": posp,
+        "tile_h": jnp.asarray(consts["tile_h"]),
+        "gs": jnp.asarray(consts["gs"]),
+        "sel_h": jnp.asarray(consts["sel_h"]),
+        "q": q,
+    }
+
 
 @functools.lru_cache(maxsize=None)
 def _selector_constants(
@@ -107,31 +257,8 @@ def fused_embedding_windows(
     heads = cfg.pool_heads
     hidden = cfg.hidden_dim
     wh = n_windows * heads
-    consts = _selector_constants(
-        starts, cfg.patch_frames, cfg.window_patches, num_patches, heads
-    )
-
-    # ---- parameter-dependent small tensors, computed in XLA (cheap) --------
-    q = jnp.asarray(params["pool_query"], jnp.float32)          # (hidden, H)
-    pos = jnp.asarray(params["pos"], jnp.float32)               # (19, hidden)
-    c = pos @ q                                                  # (19, H)
-    exp_c = jnp.exp(c - jnp.max(c))
-    band = (
-        jnp.transpose(jnp.take(exp_c, jnp.asarray(consts["k_index"]), axis=0), (0, 2, 1))
-        * jnp.asarray(consts["selector"])[:, None, :]
-    ).reshape(wh, num_patches)                                   # (WH, P) f32
-    band = jnp.pad(band, ((0, 0), (0, p_pad_to - num_patches)))
-    # POSP[wh, p, :] = pos[k(w,p), :] on the band (zeros elsewhere)
-    posp = (
-        jnp.take(pos, jnp.asarray(consts["k_index"]), axis=0)
-        * jnp.asarray(consts["selector"])[:, :, None]
-    )  # (W, P, hidden) f32
-    posp = jnp.broadcast_to(posp[:, None], (n_windows, heads, num_patches, hidden)).reshape(
-        wh, num_patches, hidden
-    )
-    posp = jnp.pad(
-        posp, ((0, 0), (0, p_pad_to - num_patches), (0, 0))
-    ).astype(jnp.bfloat16)
+    pool = _pool_constants(params, starts, cfg, num_patches, p_pad_to)
+    band, posp, q = pool["band"], pool["posp"], pool["q"]
 
     compute = jnp.bfloat16
     w_patch = jnp.asarray(params["patch_proj"]["w"], compute)
@@ -152,99 +279,25 @@ def fused_embedding_windows(
     )
     total_b = patches_in.shape[0]
 
-    tile_h_c = jnp.asarray(consts["tile_h"])                     # (WH, H)
-    gs_c = jnp.asarray(consts["gs"])                             # (WH, W)
-    sel_h_c = jnp.asarray(consts["sel_h"])                       # (H, W, WH)
+    tile_h_c = pool["tile_h"]                                    # (WH, H)
+    gs_c = pool["gs"]                                            # (WH, W)
+    sel_h_c = pool["sel_h"]                                      # (H, W, WH)
 
     T = clip_tile
     P = p_pad_to
-    gelu_k = np.float32(1.0 / np.sqrt(2.0))
-
-    def _erf(x):
-        # Abramowitz & Stegun 7.1.26 (|err| < 1.5e-7): Mosaic has no erf.
-        sign = jnp.sign(x)
-        ax = jnp.abs(x)
-        tt = 1.0 / (1.0 + 0.3275911 * ax)
-        poly = tt * (0.254829592 + tt * (-0.284496736 + tt * (1.421413741
-               + tt * (-1.453152027 + tt * 1.061405429))))
-        return sign * (1.0 - poly * jnp.exp(-ax * ax))
-
-    def rms(v):
-        vf = v.astype(jnp.float32)
-        mean = jnp.mean(vf, axis=-1, keepdims=True)
-        centered = vf - mean
-        ms = jnp.mean(centered * centered, axis=-1, keepdims=True)
-        return (centered * jax.lax.rsqrt(ms + 1e-6)).astype(compute)
-
-    def batched_dot(a, bmat):
-        return jax.lax.dot_general(
-            a, bmat,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
 
     def kernel(patches_ref, band_ref, posp_ref, tileh_ref, gs_ref, selh_ref,
                wp_ref, bp_ref, upw_ref, upb_ref, dnw_ref, dnb_ref,
                q_ref, wh_ref, bh_ref, out_ref):
-        # ---- trunk over all patches (2D, leading merge) ---------------------
         x = patches_ref[...].reshape(T * P, cfg.patch_dim)
-        feats = (
-            jnp.dot(rms(x), wp_ref[...], preferred_element_type=jnp.float32) + bp_ref[0]
-        ).astype(compute)
-        for i in range(n_blocks):
-            h = jnp.dot(rms(feats), upw_ref[i], preferred_element_type=jnp.float32) + upb_ref[i]
-            h = (0.5 * h * (1.0 + _erf(h * gelu_k))).astype(compute)
-            feats = feats + (
-                jnp.dot(h, dnw_ref[i], preferred_element_type=jnp.float32) + dnb_ref[i]
-            ).astype(compute)
-
-        # ---- patch scores & band weights ------------------------------------
-        a = jnp.dot(feats, q_ref[...], preferred_element_type=jnp.float32)  # (T*P, H)
-        a3 = a.reshape(T, P, heads)
-        a3 = a3 - jnp.max(a3, axis=1, keepdims=True)
-        ea = jnp.exp(a3)                                          # (T, P, H) f32
-        ea_t = jnp.swapaxes(ea, 1, 2)                             # (T, H, P)
-        tile_b = jnp.broadcast_to(tileh_ref[...], (T, wh, heads))
-        e_sel = batched_dot(tile_b, ea_t)                         # (T, WH, P)
-        bw = band_ref[...][None] * e_sel
-        denom = jnp.sum(bw, axis=2, keepdims=True)                # (T, WH, 1)
-        weights = (bw / (denom + 1e-30)).astype(compute)
-
-        # ---- pooled = W @b feats + W @wh POSP --------------------------------
-        feats3 = feats.reshape(T, P, hidden)
-        numer1 = batched_dot(weights, feats3)                     # (T, WH, hidden)
-        # Mosaic requires both batch dims at position 0 (probed: mixed
-        # positions fail with "batch dims must be equal"), so swap WH to the
-        # front, run the batched dot, and swap back (leading-dim swapaxes is
-        # supported).
-        weights_whT = jnp.swapaxes(weights, 0, 1)                 # (WH, T, P)
-        numer2 = batched_dot(weights_whT, posp_ref[...])          # (WH, T, hidden)
-        pooled = numer1 + jnp.swapaxes(numer2, 0, 1)              # (T, WH, hidden) f32
-
-        # ---- grouped rms over each window's (heads*hidden) ------------------
-        denom_n = float(heads * hidden)
-        rowsum = jnp.sum(pooled, axis=2)                          # (T, WH)
-        mean_w = jnp.dot(rowsum, gs_ref[...], preferred_element_type=jnp.float32) / denom_n
-        mean_rep = jnp.dot(mean_w, gs_ref[...].T, preferred_element_type=jnp.float32)
-        centered = pooled - mean_rep[:, :, None]
-        sqsum = jnp.sum(centered * centered, axis=2)              # (T, WH)
-        ms_w = jnp.dot(sqsum, gs_ref[...], preferred_element_type=jnp.float32) / denom_n
-        scale_w = jax.lax.rsqrt(ms_w + 1e-6)
-        scale_rep = jnp.dot(scale_w, gs_ref[...].T, preferred_element_type=jnp.float32)
-        norm = (centered * scale_rep[:, :, None]).astype(compute)  # (T, WH, hidden)
-
-        # ---- head: out = sum_h (SEL_h @b norm) @ W_head[h] -------------------
-        out = None
-        for h in range(heads):
-            sel_b = jnp.broadcast_to(selh_ref[h], (T, n_windows, wh)).astype(compute)
-            norm_h = batched_dot(sel_b, norm).astype(compute)      # (T, W, hidden)
-            part = jax.lax.dot_general(
-                norm_h, wh_ref[h * hidden : (h + 1) * hidden],
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                                      # (T, W, 96)
-            out = part if out is None else out + part
-        out_ref[...] = out + bh_ref[0][None, None]
+        out_ref[...] = _trunk_pool_body(
+            x,
+            band_ref[...], posp_ref[...], tileh_ref[...], gs_ref[...], selh_ref[...],
+            wp_ref[...], bp_ref[...], upw_ref[...], upb_ref[...],
+            dnw_ref[...], dnb_ref[...], q_ref[...], wh_ref[...], bh_ref[...],
+            T=T, P=P, heads=heads, hidden=hidden, n_windows=n_windows,
+            n_blocks=n_blocks, compute=compute,
+        )
 
     out = pl.pallas_call(
         kernel,

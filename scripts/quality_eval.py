@@ -50,6 +50,8 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--train-samples", type=int, default=800)
     p.add_argument("--heldout-samples", type=int, default=200)
     p.add_argument("--partial-samples", type=int, default=400)
+    p.add_argument("--stream-samples", type=int, default=800,
+                   help="sliding-window stream negatives (speech; half as many adversarial)")
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--stream-minutes", type=float, default=60.0)
     p.add_argument("--threshold", type=float, default=0.5)
@@ -92,58 +94,18 @@ def _pipeline_clips(text: str, n: int, seed: int):
     return clips
 
 
-def _texts_to_stream(texts, minutes: float, seed: int, sample_rate: int = 16000):
-    """Render a weighted text list as one continuous stream with gaps/noise."""
-    from heybuddy_tpu.data.tts_generator import SpeechSampleGenerator
-
-    rng = np.random.default_rng(seed)
-    gen = SpeechSampleGenerator(
-        texts[0], additional_phrases=list(texts[1:]), batch_size=8, seed=seed,
-        tts_backend="formant", phrase_augment_prob=0.0,
-    )
-    total = int(minutes * 60 * sample_rate)
-    out = np.zeros(total, dtype=np.float32)
-    pos = 0
-    # ~1.6 s per phrase incl. gap -> generous sample budget
-    for sample in gen(int(minutes * 60 / 1.2) + 16):
-        clip = np.asarray(sample["audio"]["array"], dtype=np.float32)
-        if np.abs(clip).max() > 4.0:
-            clip = clip / 32768.0
-        clip = clip * float(rng.uniform(0.3, 1.0))
-        end = min(pos + len(clip), total)
-        out[pos:end] = clip[: end - pos]
-        pos = end + int(rng.uniform(0.15, 1.2) * sample_rate)  # inter-phrase gap
-        if pos >= total:
-            break
-    # light background noise over the whole stream (20-30 dB SNR)
-    noise = rng.normal(0.0, 1.0, total).astype(np.float32)
-    speech_rms = float(np.sqrt(np.mean(out**2)) + 1e-9)
-    snr_db = float(rng.uniform(20.0, 30.0))
-    noise *= speech_rms / (10 ** (snr_db / 20.0)) / (np.sqrt(np.mean(noise**2)) + 1e-9)
-    return np.clip(out + noise, -1.0, 1.0)
-
-
 def synth_speech_stream(minutes: float, seed: int, exclude_phrase: str = ""):
-    """Continuous ordinary speech: pipeline-rendered random phrases (wake
-    words excluded) with gaps plus light background noise — one array."""
-    from heybuddy_tpu.text.wordlist import WORDS
+    """Continuous ordinary speech (framework data/streams.py, formant TTS)."""
+    from heybuddy_tpu.data.streams import synth_speech_stream as _synth
 
-    rng = np.random.default_rng(seed)
-    vocabulary = sorted(set(WORDS) - set(exclude_phrase.lower().split()))
-    texts = []
-    for _ in range(256):
-        n_words = int(rng.integers(1, 7))
-        texts.append(" ".join(rng.choice(vocabulary, size=n_words, replace=False)))
-    return _texts_to_stream(texts, minutes, seed)
+    return _synth(minutes, seed, exclude_phrase=exclude_phrase, tts_backend="formant")
 
 
 def synth_adversarial_stream(phrase: str, minutes: float, seed: int):
-    """Continuous stream of phonetic near-collisions of ``phrase`` — the
-    hard-negative mining surface for sliding-offset false accepts."""
-    from heybuddy_tpu.text.adversarial import get_adversarial_text_generator
+    """Continuous phonetic near-collisions (framework data/streams.py)."""
+    from heybuddy_tpu.data.streams import synth_adversarial_stream as _synth
 
-    texts = list(get_adversarial_text_generator()(phrase, num_samples=120, seed=seed))
-    return _texts_to_stream(texts, minutes, seed + 1)
+    return _synth(phrase, minutes, seed, tts_backend="formant")
 
 
 def sliding_features_scores(model, stream: np.ndarray, batch: int = 1024,
@@ -226,6 +188,7 @@ def main() -> None:
         args.train_samples = 24
         args.heldout_samples = 12
         args.partial_samples = 12
+        args.stream_samples = 12
         args.steps = 40
         args.stream_minutes = min(args.stream_minutes, 1.0)
 
@@ -260,6 +223,18 @@ def main() -> None:
     speech_train = gen.get_negative_speech_features(
         args.train_samples, num_texts=400, seed=args.seed
     )
+    stream_train = (
+        gen.get_stream_window_features(args.stream_samples, seed=args.seed)
+        if args.stream_samples > 0
+        else None
+    )
+    stream_adv_train = (
+        gen.get_stream_window_features(
+            max(args.stream_samples // 2, 1), adversarial=True, seed=args.seed
+        )
+        if args.stream_samples > 0
+        else None
+    )
 
     logger.info("=== generating held-out features ===")
     pos_test = gen.get_training_features(args.heldout_samples, adversarial=False, testing=True)
@@ -268,6 +243,14 @@ def main() -> None:
     )
     speech_test = gen.get_negative_speech_features(
         args.heldout_samples, num_texts=200, seed=args.seed + 77
+    )
+    # Validation sets for the dynamic negative-weight controller: pad-only
+    # positives, and stream windows from a seed disjoint from training's.
+    val_pos = gen.get_validation_features(args.heldout_samples)
+    val_stream = (
+        gen.get_stream_window_features(1600, seed=args.seed + 999)
+        if args.stream_samples > 0
+        else None
     )
 
     from heybuddy_tpu.data.precalculated import PrecalculatedDatasetIterator
@@ -280,6 +263,9 @@ def main() -> None:
             negative_specs.append((partial_train, bs))
             negative_specs.append((partial_adv_train, bs))
         negative_specs.append((speech_train, bs))
+        if stream_train is not None:
+            negative_specs.append((stream_train, bs))
+            negative_specs.append((stream_adv_train, bs))
         if mined:
             mined_arr = np.concatenate(mined).astype(np.float32)
             negative_specs.append(
@@ -291,16 +277,40 @@ def main() -> None:
             positive=[(pos_train, 2 * bs)],
             negative=negative_specs,
         )
+        # Validation = pad-only positives + FRESH stream windows, driving the
+        # trainer's dynamic negative-weight controller — the reference's own
+        # fp-per-hour control loop (reference trainer.py:511-536) regulating
+        # the actual operating distribution.
+        validation = None
+        if val_pos is not None and val_stream is not None:
+            val_bs = max(len(val_stream) // 8, 1)
+            validation = WakeWordTrainingDatasetIterator(
+                num_batch_threads=1,
+                positive=[(val_pos, max(args.heldout_samples // 8, 1))],
+                negative=[(val_stream, val_bs)],
+            )
+            validation.max_samples = 8
         logger.info(f"=== training classifier ({label}) ===")
         trainer = WakeWordTrainer(checkpoint_dir=ckpt_dir, seed=args.seed)
-        trainer.train_epoch(
+        history = trainer.train_epoch(
             training,
+            validation=validation,
             num_steps=args.steps,
-            validation_steps=args.steps + 1,  # no mid-train validation
+            validation_steps=max(args.steps // 8, 50),
+            negative_weight_schedule=1.0,
+            negative_weight_adjust_ratio=2.0 if validation is not None else None,
             checkpoint_steps=args.steps + 1,
             logging_steps=max(args.steps // 10, 1),
             name="quality-eval",
         )
+        if validation is not None:
+            vfp = history["validation_false_positive_per_hour"]
+            nw = history["negative_weight"]
+            logger.info(
+                f"validation fp/hr trajectory: {[round(float(v), 1) for v in vfp[-5:]]}; "
+                f"final negative weight {float(nw[-1]):.1f}"
+            )
+            validation.stop()
         training.stop()
         return trainer
 

@@ -135,3 +135,42 @@ def test_fused_embedding_kernel_interpret_matches_banded():
     assert fused.shape == ref_f32.shape
     assert np.abs(fused - ref_f32).max() < 0.05
     assert np.abs(fused - ref_banded_f32).max() < 0.05
+
+
+def test_mega_featurize_kernel_interpret_matches_reference():
+    """Single audio->embedding mega-kernel (interpreter mode) vs the exact
+    f32 XLA path, for the canonical clip length and the short 17280 shape."""
+    import jax.numpy as jnp2
+
+    from heybuddy_tpu.models import embedding_net
+    from heybuddy_tpu.ops.pallas.featurize_kernel import fused_featurize
+    from heybuddy_tpu.ops.windows import embedding_window_starts
+
+    params = embedding_net.default_params()
+    rng = np.random.default_rng(6)
+    for t, n_windows in ((23040, 16), (17280, 4)):
+        audio = jnp.asarray(rng.normal(0, 1000.0, (4, t)).astype(np.float32))
+        spec = mel_spectrogram(audio)
+        starts = embedding_window_starts(t)
+        ref_f32 = np.asarray(
+            embedding_net.apply_spectrogram(params, spec, starts, compute_dtype=jnp2.float32)
+        )
+        mega = np.asarray(fused_featurize(params, audio, starts, interpret=True))
+        assert mega.shape == ref_f32.shape == (4, n_windows, 96)
+        assert np.abs(mega - ref_f32).max() < 0.05
+
+
+def test_mega_featurize_kernel_odd_batch():
+    """Non-tile batch sizes are padded and truncated correctly."""
+    from heybuddy_tpu.models import embedding_net
+    from heybuddy_tpu.ops.pallas.featurize_kernel import fused_featurize
+    from heybuddy_tpu.ops.windows import embedding_window_starts
+
+    params = embedding_net.default_params()
+    rng = np.random.default_rng(9)
+    starts = embedding_window_starts(23040)
+    audio = jnp.asarray(rng.normal(0, 1000.0, (3, 23040)).astype(np.float32))
+    out3 = np.asarray(fused_featurize(params, audio, starts, interpret=True))
+    out1 = np.asarray(fused_featurize(params, audio[:1], starts, interpret=True))
+    assert out3.shape == (3, 16, 96)
+    np.testing.assert_allclose(out3[:1], out1, atol=1e-5)
