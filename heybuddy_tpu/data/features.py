@@ -286,10 +286,17 @@ class TrainingFeaturesGenerator:
             adversarial_phrases=adversarial_phrases,
         )
 
-    def get_validation_features(self, num_samples: int) -> PrecalculatedDatasetIterator:
-        """Pad-only positive validation features (features.py:839-907)."""
+    def get_validation_features(
+        self, num_samples: int, testing: bool = False
+    ) -> PrecalculatedDatasetIterator:
+        """Pad-only positive validation features (features.py:839-907).
+
+        ``testing=True`` draws from a disjoint cache (fresh TTS seeds) so a
+        clean held-out set stays uncontaminated when the plain validation
+        cache is also used as clean-positive TRAINING coverage.
+        """
         return self._get_features(
-            num_samples, adversarial=False, testing=False, validation=True
+            num_samples, adversarial=False, testing=testing, validation=True
         )
 
     def get_partial_phrase_features(
