@@ -53,6 +53,8 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--stream-samples", type=int, default=800,
                    help="sliding-window stream negatives (speech; half as many adversarial)")
     p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--layers", type=int, default=2, help="classifier MLP blocks")
+    p.add_argument("--layer-dim", type=int, default=96, help="classifier hidden dim")
     p.add_argument("--stream-minutes", type=float, default=60.0)
     p.add_argument("--threshold", type=float, default=0.5)
     p.add_argument("--mine-rounds", type=int, default=2,
@@ -302,7 +304,10 @@ def main() -> None:
             )
             validation.max_samples = 8
         logger.info(f"=== training classifier ({label}) ===")
-        trainer = WakeWordTrainer(checkpoint_dir=ckpt_dir, seed=args.seed)
+        trainer = WakeWordTrainer(
+            checkpoint_dir=ckpt_dir, seed=args.seed,
+            num_layers=args.layers, layer_dim=args.layer_dim,
+        )
         history = trainer.train_epoch(
             training,
             validation=validation,
@@ -431,6 +436,8 @@ def main() -> None:
         "train_samples": args.train_samples,
         "partial_samples": args.partial_samples,
         "steps": args.steps,
+        "layers": args.layers,
+        "layer_dim": args.layer_dim,
         "frr": round(frr, 4),
         "frr_clean": round(frr_clean, 4),
         "far_adversarial": round(far_adv, 4),
