@@ -443,6 +443,10 @@ class HeyBuddy {
    *   embeddingFrames: classifier context (default 16)
    *   wakeWordThreads: concurrent head executions per frame (default 4)
    *   debounceSeconds: detection refractory period (default 2)
+   *   consecutiveFrames: frames a head must stay above threshold before
+   *     firing (default 1 = fire on any frame, the reference behavior;
+   *     2 suppresses single-frame false-positive spikes — mirrors the
+   *     Python runtime's ConsecutiveGate)
    *   recordingMaxSeconds: recording buffer cap (default 10)
    */
   constructor(options = {}) {
@@ -473,6 +477,8 @@ class HeyBuddy {
     this.embeddingFrames = options.embeddingFrames ?? 16;
     this.wakeWordThreads = options.wakeWordThreads ?? 4;
     this.debounceSeconds = options.debounceSeconds ?? 2.0;
+    this.consecutiveFrames = options.consecutiveFrames ?? 1;
+    this._aboveThresholdRuns = {};
     this.recordingMaxSeconds = options.recordingMaxSeconds ?? 10.0;
     this.sampleRate = 16000;
 
@@ -585,7 +591,10 @@ class HeyBuddy {
     if (speaking && this.embeddingBuffer.length >= this.embeddingFrames) {
       await this._checkWakeWords(scores);
     } else {
-      for (const head of this.wakeWords) scores[head.name] = head.lastProbability = 0;
+      for (const head of this.wakeWords) {
+        scores[head.name] = head.lastProbability = 0;
+        this._aboveThresholdRuns[head.name] = 0;
+      }
     }
 
     this.frameTimeEma = this.frameTimeEma === 0
@@ -608,7 +617,13 @@ class HeyBuddy {
       const probs = await Promise.all(chunk.map((w) => w.execute(this.embeddingBuffer)));
       chunk.forEach((head, j) => {
         scores[head.name] = probs[j];
-        if (probs[j] > this.threshold) this._onDetection(head.name, probs[j]);
+        if (probs[j] > this.threshold) {
+          const run = (this._aboveThresholdRuns[head.name] ?? 0) + 1;
+          this._aboveThresholdRuns[head.name] = run;
+          if (run >= this.consecutiveFrames) this._onDetection(head.name, probs[j]);
+        } else {
+          this._aboveThresholdRuns[head.name] = 0;
+        }
       });
     }
   }

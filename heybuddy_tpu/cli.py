@@ -480,6 +480,9 @@ def predict(checkpoint: str, audio: str, threshold: float, debug: bool) -> None:
 @click.option("--vad/--no-vad", "use_vad", default=False, is_flag=True,
               help="Gate inference on VAD hysteresis (skip silent chunks), "
                    "like the browser runtime.")
+@click.option("--consecutive", type=int, default=1, show_default=True,
+              help="Require this many consecutive above-threshold chunks "
+                   "before recording a detection (false-positive smoothing).")
 @click.option("--debug/--no-debug", default=False, is_flag=True)
 def listen(
     checkpoints: Tuple[str, ...],
@@ -487,6 +490,7 @@ def listen(
     buffer_size: int,
     input_wav: Optional[str],
     use_vad: bool,
+    consecutive: int,
     debug: bool,
 ) -> None:
     """Listen on the microphone and print live wake-word scores."""
@@ -501,6 +505,7 @@ def listen(
             buffer_size=buffer_size,
             input_wav=input_wav,
             use_vad=use_vad,
+            consecutive=consecutive,
         )
 
 

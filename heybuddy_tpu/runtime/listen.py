@@ -105,6 +105,7 @@ def run_listen(
     input_wav: Optional[str] = None,
     max_chunks: Optional[int] = None,
     use_vad: bool = False,
+    consecutive: int = 1,
 ) -> List[str]:
     """Run the listen loop; returns lines of detections (for testing).
 
@@ -112,7 +113,12 @@ def run_listen(
     browser runtime (vad.ts:108-141): chunks while no speech is active (and
     none was active within the rolling buffer) skip the wake-word models
     entirely — the dominant idle-power saving on always-on devices.
+
+    ``consecutive`` requires that many successive chunks to score above the
+    threshold before a detection is recorded (runtime/detection.py) —
+    ``1`` reproduces the reference's fire-on-any-window behavior.
     """
+    from heybuddy_tpu.runtime.detection import ConsecutiveGate
     if _use_serial_inference():
         models: List = [_SerialModel(path, threshold=threshold) for path in checkpoints]
     else:
@@ -120,6 +126,12 @@ def run_listen(
     names = [os.path.splitext(os.path.basename(p))[0] for p in checkpoints]
     rolling = np.zeros(ROLLING_SAMPLES, dtype=np.float32)
     detections: List[str] = []
+    # debounce_windows=0 keeps the historical per-chunk logging; the gate
+    # only adds the consecutive-chunk requirement.
+    score_gates = [
+        ConsecutiveGate(threshold=threshold, consecutive=consecutive, debounce_windows=0)
+        for _ in names
+    ]
     is_tty = sys.stdout.isatty()
 
     gate = None
@@ -157,14 +169,14 @@ def run_listen(
             for model in models:
                 model.put(rolling.copy())
             rows = []
-            for name, model in zip(names, models):
+            for name, model, score_gate in zip(names, models, score_gates):
                 try:
                     score, duration = model.get(timeout=10.0)
                 except Exception:
                     score, duration = 0.0, 0.0
                 flag = "*" if score > threshold else " "
                 rows.append(f"{flag} {name:<30} {score:6.3f}  {duration * 1000:7.1f}ms")
-                if score > threshold:
+                if score_gate.update(score):
                     stamp = i * buffer_size / SAMPLE_RATE
                     detections.append(f"{name} @ {stamp:.2f}s score={score:.3f}")
             if is_tty:

@@ -80,6 +80,8 @@ export interface HeyBuddyOptions {
   embeddingFrames?: number;
   wakeWordThreads?: number;
   debounceSeconds?: number;
+  /** Frames a head must stay above threshold before firing (default 1). */
+  consecutiveFrames?: number;
   recordingMaxSeconds?: number;
   executionProviders?: string[];
   positiveThreshold?: number;

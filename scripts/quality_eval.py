@@ -140,7 +140,8 @@ def sliding_scores(model, stream: np.ndarray, batch: int = 1024,
 
 
 def operating_threshold(scores: np.ndarray, hours: float,
-                        target_per_hour: float = 1.5) -> float:
+                        target_per_hour: float = 1.5,
+                        consecutive: int = 1) -> float:
     """Smallest grid threshold whose debounced detection rate meets the
     reference's operating target (constants.py:85, 1.5 false wakes/hour).
     The grid extends into the sigmoid-saturated tail (0.995-0.9999): a
@@ -149,23 +150,20 @@ def operating_threshold(scores: np.ndarray, hours: float,
         [np.arange(0.5, 1.0, 0.01), [0.995, 0.998, 0.999, 0.9995, 0.9999]]
     )
     for thr in grid:
-        if count_detections(scores, float(thr)) / max(hours, 1e-9) <= target_per_hour:
+        rate = count_detections(scores, float(thr), consecutive=consecutive)
+        if rate / max(hours, 1e-9) <= target_per_hour:
             return float(thr)
     return 1.0
 
 
-def count_detections(scores: np.ndarray, threshold: float, debounce_windows: int = 16) -> int:
-    """Hits with a refractory period (browser runtime debounce: ~1.92 s)."""
-    detections = 0
-    cooldown = 0
-    for s in scores:
-        if cooldown > 0:
-            cooldown -= 1
-            continue
-        if s >= threshold:
-            detections += 1
-            cooldown = debounce_windows
-    return detections
+def count_detections(scores: np.ndarray, threshold: float, consecutive: int = 1,
+                     debounce_windows: int = 16) -> int:
+    """Hits with the runtime's gate (refractory ~1.92 s debounce, optional
+    consecutive-window requirement — runtime/detection.py)."""
+    from heybuddy_tpu.runtime.detection import count_detections as _count
+
+    return _count(scores, threshold, consecutive=consecutive,
+                  debounce_windows=debounce_windows)
 
 
 def main() -> None:
@@ -415,19 +413,39 @@ def main() -> None:
         f"FRR={op_frr:.4f} (clean {op_frr_clean:.4f})"
     )
 
+    # Consecutive-window gate (runtime/detection.py): stream FPs are mostly
+    # single-window spikes while a true utterance holds the phrase inside the
+    # window for several strides, so requiring 2 consecutive windows cuts
+    # fp/hr at little recall cost and buys a far gentler operating threshold.
+    fp_per_hour_c2 = count_detections(scores, thr, consecutive=2) / max(hours, 1e-9)
+    op_thr_c2 = operating_threshold(scores, hours, consecutive=2)
+    op_frr_c2 = float(np.mean(pos_scores < op_thr_c2))
+    op_frr_clean_c2 = float(np.mean(clean_scores < op_thr_c2))
+    logger.info(
+        f"consecutive=2 gate: {fp_per_hour_c2:.2f} fp/hr at thr={thr}; "
+        f"operating thr={op_thr_c2} -> FRR={op_frr_c2:.4f} (clean {op_frr_clean_c2:.4f})"
+    )
+
     logger.info("=== sliding-offset phrase check (pipeline-rendered) ===")
     rng = np.random.default_rng(args.seed + 5)
     sliding = {}
+    sliding_c2 = {}
     for text in [args.phrase] + ADVERSARIAL_SLIDING_PHRASES:
         maxima = []
+        fired_c2 = []
         for clip in _pipeline_clips(text, 3, seed=args.seed + 5):
             ctx = np.zeros(2 * 16000 + len(clip), dtype=np.float32)
             off = int(rng.integers(0, 2 * 16000))
             ctx[off : off + len(clip)] = clip
             s = sliding_scores(model, ctx)
             maxima.append(float(s.max()) if s.size else 0.0)
+            fired_c2.append(int(count_detections(s, thr, consecutive=2) > 0))
         sliding[text] = round(float(np.mean(maxima)), 3)
-        logger.info(f"  {text!r}: mean max score {sliding[text]}")
+        sliding_c2[text] = round(float(np.mean(fired_c2)), 3)
+        logger.info(
+            f"  {text!r}: mean max score {sliding[text]}, "
+            f"consecutive=2 fire rate {sliding_c2[text]}"
+        )
 
     results = {
         "phrase": args.phrase,
@@ -451,9 +469,14 @@ def main() -> None:
         "operating_fp_per_hour": round(float(op_fp_per_hour), 3),
         "operating_frr": round(op_frr, 4),
         "operating_frr_clean": round(op_frr_clean, 4),
+        "fp_per_hour_consecutive2": round(float(fp_per_hour_c2), 3),
+        "operating_threshold_consecutive2": op_thr_c2,
+        "operating_frr_consecutive2": round(op_frr_c2, 4),
+        "operating_frr_clean_consecutive2": round(op_frr_clean_c2, 4),
         "score_stats": score_stats,
         "clean_positive_stats": stats(clean_scores),
         "sliding_max_scores": sliding,
+        "sliding_consecutive2_fire_rate": sliding_c2,
         "checkpoint": final,
         "wall_s": round(time.time() - t0, 1),
     }
