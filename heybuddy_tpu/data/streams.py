@@ -52,10 +52,15 @@ def texts_to_stream(
     sample_rate: int = SAMPLE_RATE,
     tts_backend: Optional[str] = None,
     snr_db_range: tuple = (20.0, 30.0),
-) -> np.ndarray:
+    return_schedule: bool = False,
+):
     """Render a weighted text list as one continuous float32 stream in
     [-1, 1]: phrases with random gain, inter-phrase gaps of 0.15-1.2 s, and
-    light white background noise at a random SNR."""
+    light white background noise at a random SNR.
+
+    ``return_schedule=True`` also returns ``[(start, end, text), ...]`` sample
+    spans — used to attribute sliding-window false positives to the phrase(s)
+    under them (false-accept diagnostics in scripts/)."""
     from heybuddy_tpu.data.tts_generator import SpeechSampleGenerator
 
     rng = np.random.default_rng(seed)
@@ -65,6 +70,7 @@ def texts_to_stream(
     )
     total = int(minutes * 60 * sample_rate)
     out = np.zeros(total, dtype=np.float32)
+    schedule: List[tuple] = []
     pos = 0
     # ~1.6 s per phrase incl. gap -> generous sample budget
     for sample in gen(int(minutes * 60 / 1.2) + 16):
@@ -74,6 +80,7 @@ def texts_to_stream(
         clip = clip * float(rng.uniform(0.3, 1.0))
         end = min(pos + len(clip), total)
         out[pos:end] = clip[: end - pos]
+        schedule.append((pos, end, sample.get("phrase", "")))
         pos = end + int(rng.uniform(0.15, 1.2) * sample_rate)
         if pos >= total:
             break
@@ -81,7 +88,10 @@ def texts_to_stream(
     speech_rms = float(np.sqrt(np.mean(out**2)) + 1e-9)
     snr_db = float(rng.uniform(*snr_db_range))
     noise *= speech_rms / (10 ** (snr_db / 20.0)) / (np.sqrt(np.mean(noise**2)) + 1e-9)
-    return np.clip(out + noise, -1.0, 1.0)
+    stream = np.clip(out + noise, -1.0, 1.0)
+    if return_schedule:
+        return stream, schedule
+    return stream
 
 
 def synth_speech_stream(
