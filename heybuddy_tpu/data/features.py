@@ -382,6 +382,73 @@ class TrainingFeaturesGenerator:
             logger.info(f"Using {num_samples} cached partial-view features for '{name}'")
         return PrecalculatedDatasetIterator(name, directory=self.directory, seed=self.seed)
 
+    def get_clean_offset_features(
+        self,
+        num_samples: int,
+        testing: bool = False,
+    ) -> PrecalculatedDatasetIterator:
+        """
+        CLEAN positives at RANDOM window offsets: no augmentation at all, but
+        the clip is placed at a uniformly random (fully-visible) offset inside
+        the 1.44 s window — the runtime's sliding-window alignment.
+
+        Closes a measured coverage gap: pad-only clean positives are CENTERED
+        (data/augmented.py pad_only path), augmented positives are
+        random-offset but degraded, so "clean audio at an arbitrary offset" —
+        exactly what a quiet room gives the deployed sliding runtime — sits
+        between the two trained modes (sliding clean recall dropped to 0.67
+        while centered clean FRR was 0.00 under heavy mining). No reference
+        equivalent (its validation set is pad-only too, features.py:839-907).
+        """
+        name = self._cache_name(False, testing, False) + "-clean-offset"
+        os.makedirs(self.directory, exist_ok=True)
+        path = os.path.join(self.directory, f"{name}.npy")
+
+        from heybuddy_tpu.data.space import check_cache_space, write_space_sidecar
+
+        if os.path.exists(path) and (not self.use_cache or not check_cache_space(path)):
+            os.remove(path)
+        store = AppendableNpyFile(path)
+        write_space_sidecar(path)
+        existing = len(store)
+        if existing < num_samples:
+            missing = num_samples - existing
+            logger.info(f"Generating {missing} clean-offset features for '{name}'")
+            config = self.augment_config._replace(
+                seven_band_prob=0.0,
+                tanh_distortion_prob=0.0,
+                pitch_shift_prob=0.0,
+                band_stop_prob=0.0,
+                colored_noise_prob=0.0,
+                background_noise_prob=0.0,
+                gain_prob=0.0,
+                reverb_prob=0.0,
+                placement="random",
+            )
+            generator_kwargs = dict(self.generator_kwargs)
+            generator_kwargs.pop("custom_adversarial_texts", None)
+            generator_kwargs.pop("num_adversarial_texts", None)
+            generator_kwargs["phrase_augment_prob"] = 0.0
+            speech = SpeechSampleGenerator(
+                self.phrase,
+                adversarial=False,
+                batch_size=self.tts_batch_size,
+                seed=self.seed + existing + (5000 if testing else 4000),
+                tts_backend=self.tts_backend,
+                **generator_kwargs,
+            )
+            self._featurize_stream(
+                speech(missing),
+                pad_only=False,
+                store=store,
+                limit=missing,
+                seed_offset=existing + (5000 if testing else 4000),
+                config=config,
+            )
+        else:
+            logger.info(f"Using {num_samples} cached clean-offset features for '{name}'")
+        return PrecalculatedDatasetIterator(name, directory=self.directory, seed=self.seed)
+
     def get_stream_window_features(
         self,
         num_samples: int,

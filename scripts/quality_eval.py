@@ -254,10 +254,15 @@ def main() -> None:
     # only on augmented positives measurably rejects clean renderings
     # (clean FRR 0.575 vs augmented 0.26 before this was added).
     clean_train = gen.get_validation_features(max(args.train_samples // 4, 1))
+    # Clean positives at RANDOM window offsets: the sliding runtime's
+    # alignment distribution (pad-only is centered; heavy mining measurably
+    # crushed sliding clean recall to 0.67 without this coverage).
+    clean_offset_train = gen.get_clean_offset_features(max(args.train_samples // 4, 1))
     # Validation sets for the dynamic negative-weight controller: DISJOINT
-    # pad-only positives (testing cache, fresh seeds), and stream windows
-    # from a seed disjoint from training's.
+    # pad-only + clean-offset positives (testing caches, fresh seeds), and
+    # stream windows from a seed disjoint from training's.
     val_pos = gen.get_validation_features(args.heldout_samples, testing=True)
+    val_clean_offset = gen.get_clean_offset_features(args.heldout_samples, testing=True)
     val_stream = (
         gen.get_stream_window_features(1600, seed=args.seed + 999)
         if args.stream_samples > 0
@@ -285,7 +290,11 @@ def main() -> None:
             logger.info(f"training with {len(mined_arr)} mined hard negatives")
         training = WakeWordTrainingDatasetIterator(
             num_batch_threads=1,
-            positive=[(pos_train, 2 * bs), (clean_train, max(bs // 2, 1))],
+            positive=[
+                (pos_train, 2 * bs),
+                (clean_train, max(bs // 2, 1)),
+                (clean_offset_train, max(bs // 2, 1)),
+            ],
             negative=negative_specs,
         )
         # Validation = pad-only positives + FRESH stream windows, driving the
@@ -295,9 +304,10 @@ def main() -> None:
         validation = None
         if val_pos is not None and val_stream is not None:
             val_bs = max(len(val_stream) // 8, 1)
+            val_pos_bs = max(args.heldout_samples // 16, 1)
             validation = WakeWordTrainingDatasetIterator(
                 num_batch_threads=1,
-                positive=[(val_pos, max(args.heldout_samples // 8, 1))],
+                positive=[(val_pos, val_pos_bs), (val_clean_offset, val_pos_bs)],
                 negative=[(val_stream, val_bs)],
             )
             validation.max_samples = 8
@@ -377,8 +387,10 @@ def main() -> None:
     adv_scores = class_scores(adv_test)
     speech_scores = class_scores(speech_test)
     clean_scores = class_scores(val_pos)  # pad-only (unaugmented) positives
+    clean_offset_scores = class_scores(val_clean_offset)  # clean, random offset
     frr = float(np.mean(pos_scores < thr))
     frr_clean = float(np.mean(clean_scores < thr))
+    frr_clean_offset = float(np.mean(clean_offset_scores < thr))
     far_adv = float(np.mean(adv_scores >= thr))
     far_speech = float(np.mean(speech_scores >= thr))
     score_stats = {
@@ -387,7 +399,8 @@ def main() -> None:
         "speech": stats(speech_scores),
     }
     logger.info(
-        f"FRR={frr:.4f} (clean {frr_clean:.4f}) FAR_adv={far_adv:.4f} "
+        f"FRR={frr:.4f} (clean {frr_clean:.4f}, clean-offset {frr_clean_offset:.4f}) "
+        f"FAR_adv={far_adv:.4f} "
         f"FAR_speech={far_speech:.4f}"
     )
     logger.info(f"score stats: {score_stats}")
@@ -407,6 +420,7 @@ def main() -> None:
     op_thr = operating_threshold(scores, hours)
     op_frr = float(np.mean(pos_scores < op_thr))
     op_frr_clean = float(np.mean(clean_scores < op_thr))
+    op_frr_clean_offset = float(np.mean(clean_offset_scores < op_thr))
     op_fp_per_hour = count_detections(scores, op_thr) / max(hours, 1e-9)
     logger.info(
         f"operating point: thr={op_thr} -> {op_fp_per_hour:.2f} fp/hr, "
@@ -421,6 +435,7 @@ def main() -> None:
     op_thr_c2 = operating_threshold(scores, hours, consecutive=2)
     op_frr_c2 = float(np.mean(pos_scores < op_thr_c2))
     op_frr_clean_c2 = float(np.mean(clean_scores < op_thr_c2))
+    op_frr_clean_offset_c2 = float(np.mean(clean_offset_scores < op_thr_c2))
     logger.info(
         f"consecutive=2 gate: {fp_per_hour_c2:.2f} fp/hr at thr={thr}; "
         f"operating thr={op_thr_c2} -> FRR={op_frr_c2:.4f} (clean {op_frr_clean_c2:.4f})"
@@ -458,6 +473,7 @@ def main() -> None:
         "layer_dim": args.layer_dim,
         "frr": round(frr, 4),
         "frr_clean": round(frr_clean, 4),
+        "frr_clean_offset": round(frr_clean_offset, 4),
         "far_adversarial": round(far_adv, 4),
         "far_speech": round(far_speech, 4),
         "stream_minutes": args.stream_minutes,
@@ -469,12 +485,15 @@ def main() -> None:
         "operating_fp_per_hour": round(float(op_fp_per_hour), 3),
         "operating_frr": round(op_frr, 4),
         "operating_frr_clean": round(op_frr_clean, 4),
+        "operating_frr_clean_offset": round(op_frr_clean_offset, 4),
         "fp_per_hour_consecutive2": round(float(fp_per_hour_c2), 3),
         "operating_threshold_consecutive2": op_thr_c2,
         "operating_frr_consecutive2": round(op_frr_c2, 4),
         "operating_frr_clean_consecutive2": round(op_frr_clean_c2, 4),
+        "operating_frr_clean_offset_consecutive2": round(op_frr_clean_offset_c2, 4),
         "score_stats": score_stats,
         "clean_positive_stats": stats(clean_scores),
+        "clean_offset_stats": stats(clean_offset_scores),
         "sliding_max_scores": sliding,
         "sliding_consecutive2_fire_rate": sliding_c2,
         "checkpoint": final,
