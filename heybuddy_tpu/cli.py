@@ -540,6 +540,11 @@ def convert(checkpoint: str, output: Optional[str], opset_version: int, debug: b
 @click.option("--learning-rate", type=float, default=1e-3, show_default=True)
 @click.option("--temperature", type=float, default=0.1, show_default=True)
 @click.option("--tts-backend", type=click.Choice(["vits", "formant"]), default=None)
+@click.option("--adversarial-fraction", type=float, default=0.0, show_default=True,
+              help="Fraction of the text pool built as phonetic-neighbor "
+                   "clusters (base phrase + 3 near-collisions) so in-batch "
+                   "negatives include the separations wake-word "
+                   "discrimination needs.")
 @click.option("--seed", type=int, default=0, show_default=True)
 @click.option("--debug/--no-debug", default=False, is_flag=True)
 def pretrain_embedding(
@@ -551,6 +556,7 @@ def pretrain_embedding(
     learning_rate: float,
     temperature: float,
     tts_backend: Optional[str],
+    adversarial_fraction: float,
     seed: int,
     debug: bool,
 ) -> None:
@@ -571,6 +577,7 @@ def pretrain_embedding(
             learning_rate=learning_rate,
             temperature=temperature,
             tts_backend=tts_backend,
+            adversarial_fraction=adversarial_fraction,
             seed=seed,
         )
         pretrainer.train(steps=steps)

@@ -69,8 +69,13 @@ class EmbeddingPretrainer:
         seed: int = 0,
         config: Optional[embedding_net.EmbeddingNetConfig] = None,
         init_weights: Optional[str] = None,
+        adversarial_fraction: float = 0.0,
     ) -> None:
-        self.texts = list(texts) if texts is not None else self._default_texts(num_texts, seed)
+        self.texts = (
+            list(texts)
+            if texts is not None
+            else self._default_texts(num_texts, seed, adversarial_fraction)
+        )
         self.speakers_per_text = speakers_per_text
         self.batch_size = batch_size
         self.temperature = temperature
@@ -97,16 +102,46 @@ class EmbeddingPretrainer:
         self._step_fn = None
 
     @staticmethod
-    def _default_texts(num_texts: int, seed: int) -> List[str]:
-        """Random 1-3 word phrases from the bundled lexicon."""
+    def _default_texts(
+        num_texts: int, seed: int, adversarial_fraction: float = 0.0
+    ) -> List[str]:
+        """Random 1-3 word phrases from the bundled lexicon.
+
+        ``adversarial_fraction > 0`` replaces that fraction of the pool with
+        PHONETIC-NEIGHBOR CLUSTERS: a base phrase plus 3 near-collisions from
+        the adversarial generator (text/adversarial.py). Random texts are
+        phonetically easy in-batch negatives; clusters make NT-Xent separate
+        exactly the near-collisions wake-word discrimination hinges on
+        (cluster members co-occur in a batch by chance — ~12 same-cluster
+        pairs per 256-batch at 8k texts).
+        """
         from heybuddy_tpu.text.wordlist import WORDS
 
         rng = np.random.default_rng(seed + 7)
         words = sorted(set(WORDS))
-        texts = []
-        for _ in range(num_texts):
+        cluster_size = 4  # base + 3 neighbors
+        n_cluster_texts = int(num_texts * adversarial_fraction)
+        n_clusters = n_cluster_texts // cluster_size
+        texts: List[str] = []
+        for _ in range(num_texts - n_clusters * cluster_size):
             n = int(rng.integers(1, 4))
             texts.append(" ".join(rng.choice(words, size=n, replace=False)))
+        if n_clusters > 0:
+            from heybuddy_tpu.text.adversarial import get_adversarial_text_generator
+
+            adv = get_adversarial_text_generator()
+            for c in range(n_clusters):
+                n = int(rng.integers(1, 3))
+                base = " ".join(rng.choice(words, size=n, replace=False))
+                texts.append(base)
+                neighbors = list(
+                    adv(base, num_samples=cluster_size - 1, seed=seed + 31 * c)
+                )
+                texts.extend(neighbors[: cluster_size - 1])
+                # Top up if the generator found fewer neighbors than asked.
+                for _ in range(cluster_size - 1 - len(neighbors)):
+                    n = int(rng.integers(1, 4))
+                    texts.append(" ".join(rng.choice(words, size=n, replace=False)))
         return texts
 
     def build_clip_pool(self) -> None:

@@ -43,3 +43,16 @@ def test_pretrainer_step_updates_params(tmp_path, monkeypatch):
         seed=1, init_weights=path,
     )
     np.testing.assert_allclose(np.asarray(warm.params["patch_proj"]["w"]), after, atol=1e-7)
+
+
+def test_default_texts_adversarial_clusters():
+    from heybuddy_tpu.training.embedding_pretrain import EmbeddingPretrainer
+
+    texts = EmbeddingPretrainer._default_texts(64, 0, adversarial_fraction=0.5)
+    assert len(texts) == 64
+    plain = EmbeddingPretrainer._default_texts(64, 0)
+    assert len(plain) == 64
+    # deterministic for a given seed
+    assert texts == EmbeddingPretrainer._default_texts(64, 0, adversarial_fraction=0.5)
+    # the non-cluster prefix matches between fractions (same rng stream)
+    assert texts[:16] == plain[:16]
