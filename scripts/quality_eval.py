@@ -52,6 +52,9 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--partial-samples", type=int, default=400)
     p.add_argument("--stream-samples", type=int, default=800,
                    help="sliding-window stream negatives (speech; half as many adversarial)")
+    p.add_argument("--val-stream-samples", type=int, default=1600,
+                   help="validation stream windows for the negative-weight "
+                        "controller (1600 ~= 3.2 min; rare FPs need more)")
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--layers", type=int, default=2, help="classifier MLP blocks")
     p.add_argument("--layer-dim", type=int, default=96, help="classifier hidden dim")
@@ -264,7 +267,7 @@ def main() -> None:
     val_pos = gen.get_validation_features(args.heldout_samples, testing=True)
     val_clean_offset = gen.get_clean_offset_features(args.heldout_samples, testing=True)
     val_stream = (
-        gen.get_stream_window_features(1600, seed=args.seed + 999)
+        gen.get_stream_window_features(args.val_stream_samples, seed=args.seed + 999)
         if args.stream_samples > 0
         else None
     )
@@ -448,7 +451,7 @@ def main() -> None:
     for text in [args.phrase] + ADVERSARIAL_SLIDING_PHRASES:
         maxima = []
         fired_c2 = []
-        for clip in _pipeline_clips(text, 3, seed=args.seed + 5):
+        for clip in _pipeline_clips(text, 6, seed=args.seed + 5):
             ctx = np.zeros(2 * 16000 + len(clip), dtype=np.float32)
             off = int(rng.integers(0, 2 * 16000))
             ctx[off : off + len(clip)] = clip
