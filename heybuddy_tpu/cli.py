@@ -290,6 +290,10 @@ def combine(
               help="Generate this many sliding-window negatives from continuous "
                    "speech/adversarial streams (the distribution the deployed runtime "
                    "scores; cuts false wakes per hour).")
+@click.option("--clean-positive-samples", type=int, default=0, show_default=True,
+              help="Add this many UNAUGMENTED positives (centered and at random "
+                   "window offsets) — quiet-room recall coverage the augment "
+                   "chain cannot provide.")
 @click.option("--adversarial-batch-size", type=int, default=DEFAULT_ADVERSARIAL_BATCH_SIZE)
 @click.option("--num-batch-threads", type=int, default=DEFAULT_BATCH_THREADS)
 @click.option("--validation-positive-batch-size", type=int, default=DEFAULT_VALIDATION_POSITIVE_BATCH_SIZE)
@@ -363,6 +367,7 @@ def train(phrase: str, **kwargs: Any) -> None:
             partial_samples=kwargs.pop("partial_samples"),
             partial_batch_size=kwargs.pop("partial_batch_size"),
             stream_negative_samples=kwargs.pop("stream_negative_samples"),
+            clean_positive_samples=kwargs.pop("clean_positive_samples"),
             num_batch_threads=kwargs.pop("num_batch_threads"),
             large_negative_dataset=training_default_size in ("large", "full"),
             synthetic_negative_samples=kwargs.pop("synthetic_negative_samples"),

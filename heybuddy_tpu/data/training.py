@@ -237,6 +237,7 @@ class WakeWordTrainingDatasetIterator(TrainingDatasetIterator):
         partial_samples: int = 0,
         partial_batch_size: int = DEFAULT_PARTIAL_BATCH_SIZE,
         stream_negative_samples: int = 0,
+        clean_positive_samples: int = 0,
         num_batch_threads: int = DEFAULT_BATCH_THREADS,
         large_negative_dataset: bool = False,
         synthetic_negative_samples: int = 0,
@@ -261,6 +262,17 @@ class WakeWordTrainingDatasetIterator(TrainingDatasetIterator):
         positive_specs: List[DatasetSpec] = [
             (positive, positive_batch_size),
         ]
+        if clean_positive_samples > 0 and not testing:
+            # Unaugmented positives, centered (pad-only) AND at random window
+            # offsets: the augment chain never emits clean audio, and models
+            # trained only on augmented positives measurably reject clean
+            # renderings — especially at the sliding runtime's arbitrary
+            # alignments (features.get_clean_offset_features docstring).
+            clean_bs = max(positive_batch_size // 2, 1)
+            clean = generator.get_validation_features(clean_positive_samples)
+            clean_offset = generator.get_clean_offset_features(clean_positive_samples)
+            positive_specs.append((clean, clean_bs))
+            positive_specs.append((clean_offset, clean_bs))
         negative_specs: List[DatasetSpec] = [
             (adversarial, adversarial_batch_size),
         ]
