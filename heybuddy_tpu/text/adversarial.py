@@ -163,7 +163,18 @@ class AdversarialTextGenerator:
                 logger.warning(f"No adversarial candidates for '{word}'; keeping the word itself")
                 adversarial_per_word.append([word])
 
+        # Degenerate case: a single word with no phonetic neighbors can only
+        # ever reproduce the input — the rejection loop below would never
+        # terminate (measured: 'wednesday' has no neighbors in the bundled
+        # lexicon and hung a 512-cluster pretraining text build).
+        if len(words) == 1 and adversarial_per_word[0] == [words[0]]:
+            logger.warning(
+                f"No distinct adversarial texts possible for '{input_text}'"
+            )
+            return
+
         yielded = 0
+        failures = 0
         while num_samples is None or yielded < num_samples:
             parts: List[str] = []
             for candidates, original in zip(adversarial_per_word, words):
@@ -182,6 +193,17 @@ class AdversarialTextGenerator:
             if adversarial_text != input_text:
                 yield adversarial_text
                 yielded += 1
+                failures = 0
+            else:
+                # Bounded rejection: with few candidates (e.g. every word kept
+                # itself) distinct texts may be rare or impossible.
+                failures += 1
+                if failures >= 100:
+                    logger.warning(
+                        f"Exhausted adversarial sampling for '{input_text}' "
+                        f"after {yielded} distinct text(s)"
+                    )
+                    return
 
 
 _GLOBAL_GENERATOR: Optional[AdversarialTextGenerator] = None

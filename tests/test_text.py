@@ -138,3 +138,13 @@ def test_vits_tts_defaults_to_piper_maps(monkeypatch):
     assert ids[0] == 1 and ids[-1] == 2 and len(ids) > 4
     assert tts.resolve_speaker(5) == 5
     assert tts.resolve_speaker("3922") == 0  # LibriTTS speaker name
+
+
+def test_adversarial_generator_terminates_without_candidates():
+    """A word with no phonetic neighbors must not hang the sampler
+    (regression: 'wednesday' looped forever in cluster text builds)."""
+    from heybuddy_tpu.text.adversarial import AdversarialTextGenerator
+
+    gen = AdversarialTextGenerator()
+    out = list(gen("wednesday", num_samples=3, seed=0))
+    assert out == [] or all(t != "wednesday" for t in out)
