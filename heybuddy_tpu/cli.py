@@ -78,6 +78,13 @@ def _enable_compilation_cache() -> None:
     try:
         import jax
 
+        # HEYBUDDY_PLATFORM=cpu pins the backend before first device use.
+        # Needed where a site plugin overrides the JAX_PLATFORMS env var
+        # (e.g. to a single remote TPU tunnel another process may hold).
+        platform = os.environ.get("HEYBUDDY_PLATFORM")
+        if platform:
+            jax.config.update("jax_platforms", platform)
+
         from heybuddy_tpu.utils.downloads import get_cache_dir
 
         jax.config.update("jax_compilation_cache_dir", get_cache_dir("xla-cache"))

@@ -386,21 +386,32 @@ class TrainingFeaturesGenerator:
         self,
         num_samples: int,
         testing: bool = False,
+        adversarial: bool = False,
+        adversarial_phrases: Optional[int] = None,
     ) -> PrecalculatedDatasetIterator:
         """
-        CLEAN positives at RANDOM window offsets: no augmentation at all, but
-        the clip is placed at a uniformly random (fully-visible) offset inside
+        CLEAN clips at RANDOM window offsets: no augmentation at all, but the
+        clip is placed at a uniformly random (fully-visible) offset inside
         the 1.44 s window — the runtime's sliding-window alignment.
 
-        Closes a measured coverage gap: pad-only clean positives are CENTERED
-        (data/augmented.py pad_only path), augmented positives are
-        random-offset but degraded, so "clean audio at an arbitrary offset" —
-        exactly what a quiet room gives the deployed sliding runtime — sits
-        between the two trained modes (sliding clean recall dropped to 0.67
-        while centered clean FRR was 0.00 under heavy mining). No reference
-        equivalent (its validation set is pad-only too, features.py:839-907).
+        ``adversarial=False`` (positives) closes a measured coverage gap:
+        pad-only clean positives are CENTERED (data/augmented.py pad_only
+        path), augmented positives are random-offset but degraded, so "clean
+        audio at an arbitrary offset" — exactly what a quiet room gives the
+        deployed sliding runtime — sits between the two trained modes
+        (sliding clean recall dropped to 0.67 while centered clean FRR was
+        0.00 under heavy mining).
+
+        ``adversarial=True`` (hard negatives) is the symmetric fix for the
+        symmetric failure: once clean-offset POSITIVES are trained, clean
+        near-collisions at odd offsets generalize INTO the positive class
+        (measured: full-view "hay bunny" rejected at 0.00 while its clean
+        sliding view fired the consecutive-window gate 2/3 of the time).
+
+        No reference equivalent (its validation set is pad-only too,
+        features.py:839-907).
         """
-        name = self._cache_name(False, testing, False) + "-clean-offset"
+        name = self._cache_name(adversarial, testing, False) + "-clean-offset"
         os.makedirs(self.directory, exist_ok=True)
         path = os.path.join(self.directory, f"{name}.npy")
 
@@ -426,12 +437,15 @@ class TrainingFeaturesGenerator:
                 placement="random",
             )
             generator_kwargs = dict(self.generator_kwargs)
-            generator_kwargs.pop("custom_adversarial_texts", None)
-            generator_kwargs.pop("num_adversarial_texts", None)
+            if adversarial_phrases is not None:
+                generator_kwargs["num_adversarial_texts"] = adversarial_phrases
+            if not adversarial:
+                generator_kwargs.pop("custom_adversarial_texts", None)
+                generator_kwargs.pop("num_adversarial_texts", None)
             generator_kwargs["phrase_augment_prob"] = 0.0
             speech = SpeechSampleGenerator(
                 self.phrase,
-                adversarial=False,
+                adversarial=adversarial,
                 batch_size=self.tts_batch_size,
                 seed=self.seed + existing + (5000 if testing else 4000),
                 tts_backend=self.tts_backend,

@@ -276,6 +276,16 @@ class WakeWordTrainingDatasetIterator(TrainingDatasetIterator):
         negative_specs: List[DatasetSpec] = [
             (adversarial, adversarial_batch_size),
         ]
+        if clean_positive_samples > 0 and not testing:
+            # Symmetric hard negative: clean near-collisions at random
+            # offsets, so clean-offset positives don't pull clean adversaries
+            # at odd alignments into the positive class.
+            clean_offset_adv = generator.get_clean_offset_features(
+                clean_positive_samples,
+                adversarial=True,
+                adversarial_phrases=adversarial_phrases,
+            )
+            negative_specs.append((clean_offset_adv, max(positive_batch_size // 2, 1)))
         if partial_samples > 0:
             # Sliding-offset partial views of the wake phrase AND of its
             # phonetic adversaries, labeled negative

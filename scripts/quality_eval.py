@@ -261,6 +261,14 @@ def main() -> None:
     # alignment distribution (pad-only is centered; heavy mining measurably
     # crushed sliding clean recall to 0.67 without this coverage).
     clean_offset_train = gen.get_clean_offset_features(max(args.train_samples // 4, 1))
+    # The symmetric hard negative: clean NEAR-COLLISIONS at random offsets
+    # (clean-offset positives otherwise pull clean adversaries at odd
+    # alignments into the positive class — "hay bunny"'s clean sliding view
+    # fired the consecutive gate 2/3 of the time while its full view scored
+    # 0.00).
+    clean_offset_adv_train = gen.get_clean_offset_features(
+        max(args.train_samples // 4, 1), adversarial=True, adversarial_phrases=60
+    )
     # Validation sets for the dynamic negative-weight controller: DISJOINT
     # pad-only + clean-offset positives (testing caches, fresh seeds), and
     # stream windows from a seed disjoint from training's.
@@ -277,7 +285,7 @@ def main() -> None:
     bs = max(4, min(25, args.train_samples // 8))
 
     def train_model(mined: list, label: str):
-        negative_specs = [(adv_train, bs)]
+        negative_specs = [(adv_train, bs), (clean_offset_adv_train, max(bs // 2, 1))]
         if partial_train is not None:
             negative_specs.append((partial_train, bs))
             negative_specs.append((partial_adv_train, bs))
