@@ -72,18 +72,36 @@ from heybuddy_tpu.constants import (
 )
 
 
+def _pin_platform() -> None:
+    """HEYBUDDY_PLATFORM=cpu pins the backend before first device use.
+
+    Needed where a site plugin overrides the JAX_PLATFORMS env var (e.g. to
+    a single remote TPU tunnel another process may hold). Must not be
+    best-effort: silently falling through to the contended backend is the
+    exact failure this exists to avoid, so a failed pin warns loudly.
+    """
+    platform = os.environ.get("HEYBUDDY_PLATFORM")
+    if not platform:
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", platform)
+    except Exception as ex:
+        from heybuddy_tpu.utils.log import logger
+
+        logger.warning(
+            f"HEYBUDDY_PLATFORM={platform} could not be applied ({ex}); "
+            "the process will use the default JAX backend."
+        )
+
+
 def _enable_compilation_cache() -> None:
     """Persist XLA compilations across CLI invocations (first TPU compile of
-    the featurizer/train step can take minutes on remote-compile backends)."""
+    the featurizer/train step can take minutes on remote-compile backends).
+    Best-effort: a missing/readonly cache dir only costs compile time."""
     try:
         import jax
-
-        # HEYBUDDY_PLATFORM=cpu pins the backend before first device use.
-        # Needed where a site plugin overrides the JAX_PLATFORMS env var
-        # (e.g. to a single remote TPU tunnel another process may hold).
-        platform = os.environ.get("HEYBUDDY_PLATFORM")
-        if platform:
-            jax.config.update("jax_platforms", platform)
 
         from heybuddy_tpu.utils.downloads import get_cache_dir
 
@@ -96,6 +114,7 @@ def _enable_compilation_cache() -> None:
 @click.group(name="heybuddy")
 def main() -> None:
     """heybuddy-tpu: TPU-native wake-word training and deployment."""
+    _pin_platform()
     _enable_compilation_cache()
 
 

@@ -385,8 +385,8 @@ class TrainingFeaturesGenerator:
     def get_clean_offset_features(
         self,
         num_samples: int,
-        testing: bool = False,
         adversarial: bool = False,
+        testing: bool = False,
         adversarial_phrases: Optional[int] = None,
     ) -> PrecalculatedDatasetIterator:
         """

@@ -262,30 +262,30 @@ class WakeWordTrainingDatasetIterator(TrainingDatasetIterator):
         positive_specs: List[DatasetSpec] = [
             (positive, positive_batch_size),
         ]
+        negative_specs: List[DatasetSpec] = [
+            (adversarial, adversarial_batch_size),
+        ]
         if clean_positive_samples > 0 and not testing:
             # Unaugmented positives, centered (pad-only) AND at random window
             # offsets: the augment chain never emits clean audio, and models
             # trained only on augmented positives measurably reject clean
             # renderings — especially at the sliding runtime's arbitrary
             # alignments (features.get_clean_offset_features docstring).
+            # The symmetric hard negative (clean near-collisions at random
+            # offsets) ships in the same block so the pairing can't
+            # desynchronize: clean-offset positives alone pull clean
+            # adversaries at odd alignments into the positive class.
             clean_bs = max(positive_batch_size // 2, 1)
             clean = generator.get_validation_features(clean_positive_samples)
             clean_offset = generator.get_clean_offset_features(clean_positive_samples)
             positive_specs.append((clean, clean_bs))
             positive_specs.append((clean_offset, clean_bs))
-        negative_specs: List[DatasetSpec] = [
-            (adversarial, adversarial_batch_size),
-        ]
-        if clean_positive_samples > 0 and not testing:
-            # Symmetric hard negative: clean near-collisions at random
-            # offsets, so clean-offset positives don't pull clean adversaries
-            # at odd alignments into the positive class.
             clean_offset_adv = generator.get_clean_offset_features(
                 clean_positive_samples,
                 adversarial=True,
                 adversarial_phrases=adversarial_phrases,
             )
-            negative_specs.append((clean_offset_adv, max(positive_batch_size // 2, 1)))
+            negative_specs.append((clean_offset_adv, clean_bs))
         if partial_samples > 0:
             # Sliding-offset partial views of the wake phrase AND of its
             # phonetic adversaries, labeled negative
@@ -371,7 +371,12 @@ class WakeWordTrainingDatasetIterator(TrainingDatasetIterator):
         from heybuddy_tpu.data.features import TrainingFeaturesGenerator
 
         generator = TrainingFeaturesGenerator(phrase=phrase, **feature_kwargs)
-        positive = generator.get_validation_features(validation_samples)
+        # testing=True draws from the disjoint testing-validation cache
+        # (fresh TTS seeds): the plain validation cache doubles as
+        # clean-positive TRAINING coverage (default()'s clean_positive_samples
+        # path), so validating on it would leak train positives into the
+        # fp-per-hour control loop's recall metric.
+        positive = generator.get_validation_features(validation_samples, testing=True)
         positive_specs: List[DatasetSpec] = [(positive, positive_batch_size)]
         negative_specs: List[DatasetSpec] = []
         from heybuddy_tpu.data.precalculated import get_default_dataset_dir

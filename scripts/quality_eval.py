@@ -276,7 +276,7 @@ def main() -> None:
     val_clean_offset = gen.get_clean_offset_features(args.heldout_samples, testing=True)
     val_stream = (
         gen.get_stream_window_features(args.val_stream_samples, seed=args.seed + 999)
-        if args.stream_samples > 0
+        if args.val_stream_samples > 0
         else None
     )
 
