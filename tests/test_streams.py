@@ -55,3 +55,24 @@ def test_stream_window_features_cached(tmp_path):
     # adversarial variant uses a separate cache
     adv = gen.get_stream_window_features(4, adversarial=True).precalculated[:]
     assert adv.shape == (4, 16, 96)
+
+
+def test_validation_iterator_uses_disjoint_testing_cache(tmp_path, monkeypatch):
+    """The plain validation cache doubles as clean-positive TRAINING coverage
+    (default()'s clean_positive_samples path), so the validation iterator must
+    draw from the disjoint testing-validation cache — otherwise the trainer's
+    fp-per-hour controller validates recall on samples the model trained on."""
+    monkeypatch.setenv("HEYBUDDY_OFFLINE", "1")
+    from heybuddy_tpu.data.training import WakeWordTrainingDatasetIterator
+
+    WakeWordTrainingDatasetIterator.validation(
+        "hey buddy",
+        validation_samples=4,
+        stream_negative_samples=0,
+        num_batch_threads=1,
+        directory=str(tmp_path),
+        tts_backend="formant",
+        seed=0,
+    )
+    assert (tmp_path / "hey-buddy-testing-validation.npy").exists()
+    assert not (tmp_path / "hey-buddy-validation.npy").exists()
