@@ -200,10 +200,16 @@ export class HeyBuddy {
       const probs = await Promise.all(chunk.map((w) => w.execute(this.embeddingBuffer)));
       chunk.forEach((head, j) => {
         scores[head.name] = probs[j];
-        if (probs[j] > this.threshold) {
+        // Same semantics as the Python ConsecutiveGate (runtime/detection.py):
+        // inclusive threshold, and the run resets after firing so a sustained
+        // activation needs a fresh run of N before it can re-fire.
+        if (probs[j] >= this.threshold) {
           const run = (this._aboveThresholdRuns[head.name] ?? 0) + 1;
           this._aboveThresholdRuns[head.name] = run;
-          if (run >= this.consecutiveFrames) this._onDetection(head.name, probs[j]);
+          if (run >= this.consecutiveFrames) {
+            this._aboveThresholdRuns[head.name] = 0;
+            this._onDetection(head.name, probs[j]);
+          }
         } else {
           this._aboveThresholdRuns[head.name] = 0;
         }

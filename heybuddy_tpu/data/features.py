@@ -486,6 +486,8 @@ class TrainingFeaturesGenerator:
         """
         from heybuddy_tpu.data.streams import (
             RUNTIME_WINDOW_STRIDE,
+            stream_window_clips,
+            stream_window_count,
             synth_adversarial_stream,
             synth_speech_stream,
         )
@@ -533,17 +535,12 @@ class TrainingFeaturesGenerator:
                         seg_seconds / 60.0, seg_seed, exclude_phrase=self.phrase,
                         tts_backend=self.tts_backend,
                     )
-                n = min((len(stream) - CLIP_SAMPLES) // stride + 1, seg_windows)
+                n = min(stream_window_count(stream), seg_windows)
                 for i in range(0, n, self.embed_batch_size):
                     take = min(self.embed_batch_size, n - i, missing - written)
                     if take <= 0:
                         break
-                    clips = np.stack(
-                        [
-                            stream[s : s + CLIP_SAMPLES]
-                            for s in (np.arange(i, i + take) * stride)
-                        ]
-                    )
+                    clips = stream_window_clips(stream, start=i, count=take)
                     device_arr, n_real = embeddings.featurize_device(clips)
                     feats = np.asarray(device_arr)[:n_real]
                     store.append(feats.astype(np.float32))

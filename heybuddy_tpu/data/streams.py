@@ -37,6 +37,7 @@ __all__ = [
     "synth_speech_stream",
     "synth_adversarial_stream",
     "stream_window_clips",
+    "stream_window_count",
     "RUNTIME_WINDOW_STRIDE",
 ]
 
@@ -100,9 +101,15 @@ def synth_speech_stream(
     exclude_phrase: str = "",
     num_texts: int = 256,
     tts_backend: Optional[str] = None,
-) -> np.ndarray:
+    return_schedule: bool = False,
+):
     """Continuous ordinary speech: pipeline-rendered random phrases (words of
-    ``exclude_phrase`` removed from the vocabulary) with gaps plus noise."""
+    ``exclude_phrase`` removed from the vocabulary) with gaps plus noise.
+
+    ``return_schedule=True`` passes through ``texts_to_stream``'s phrase-span
+    schedule, so diagnostics attribute false positives to the SAME text
+    distribution training negatives come from (scripts/diagnose_stream_fps.py
+    must not re-derive the vocabulary loop and silently diverge)."""
     from heybuddy_tpu.text.wordlist import WORDS
 
     rng = np.random.default_rng(seed)
@@ -111,7 +118,9 @@ def synth_speech_stream(
     for _ in range(num_texts):
         n_words = int(rng.integers(1, 7))
         texts.append(" ".join(rng.choice(vocabulary, size=n_words, replace=False)))
-    return texts_to_stream(texts, minutes, seed, tts_backend=tts_backend)
+    return texts_to_stream(
+        texts, minutes, seed, tts_backend=tts_backend, return_schedule=return_schedule
+    )
 
 
 def synth_adversarial_stream(
@@ -128,15 +137,33 @@ def synth_adversarial_stream(
     return texts_to_stream(texts, minutes, seed + 1, tts_backend=tts_backend)
 
 
+def stream_window_count(
+    stream: np.ndarray,
+    window: int = CLIP_SAMPLES,
+    stride: int = RUNTIME_WINDOW_STRIDE,
+) -> int:
+    """Number of runtime window positions in a stream."""
+    return max((len(stream) - window) // stride + 1, 0)
+
+
 def stream_window_clips(
     stream: np.ndarray,
     window: int = CLIP_SAMPLES,
     stride: int = RUNTIME_WINDOW_STRIDE,
+    start: int = 0,
+    count: Optional[int] = None,
 ) -> np.ndarray:
-    """(t,) stream -> (n, window) float32 batch of every runtime window
-    position, exactly what the sliding runtime scores."""
-    n = max((len(stream) - window) // stride + 1, 0)
-    if n == 0:
+    """(t,) stream -> (n, window) float32 batch of runtime window positions,
+    exactly what the sliding runtime scores.
+
+    ``start``/``count`` select a window-index range so large streams can be
+    featurized in batches without materializing every window at once — the
+    ONE place the runtime-window geometry lives (features.py and the
+    diagnostics must call this, not re-derive the stride arithmetic)."""
+    n = stream_window_count(stream, window=window, stride=stride)
+    if count is not None:
+        n = min(n, start + count)
+    if start >= n:
         return np.zeros((0, window), dtype=np.float32)
-    starts = np.arange(n) * stride
+    starts = np.arange(start, n) * stride
     return np.stack([stream[s : s + window] for s in starts]).astype(np.float32)

@@ -9,8 +9,11 @@ streaming false positives are single-window spikes (measured in
 scripts/quality_eval.py: requiring 2 consecutive windows removes the
 majority of stream FPs at zero recall cost). ``ConsecutiveGate`` packages
 that logic so the CLI listener, the offline harness, and tests share one
-implementation; the browser runtime mirrors it (`consecutiveFrames` option
-in browser/src/hey-buddy.js).
+implementation; the browser runtime mirrors the threshold/run semantics
+(`consecutiveFrames` option in browser/src/hey-buddy.js — inclusive
+threshold, run resets after firing) but keeps the reference's WALL-CLOCK
+debounce (`debounceSeconds`, reference hey-buddy.ts:317-333) instead of
+this gate's window-count cooldown.
 
 The reference fires on a single window with a wall-clock debounce
 (reference hey-buddy.ts:317-333); ``consecutive=1`` reproduces that

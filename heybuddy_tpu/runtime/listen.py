@@ -10,6 +10,7 @@ per-model latency.
 from __future__ import annotations
 
 import os
+import queue
 import sys
 import time
 from typing import Iterator, List, Optional
@@ -150,18 +151,29 @@ def run_listen(
         for i, chunk in enumerate(chunks):
             if max_chunks is not None and i >= max_chunks:
                 break
-            rolling = np.roll(rolling, -len(chunk))
-            rolling[-len(chunk) :] = chunk
+            if len(chunk) >= ROLLING_SAMPLES:
+                rolling = chunk[-ROLLING_SAMPLES:].astype(np.float32).copy()
+            else:
+                rolling = np.roll(rolling, -len(chunk))
+                rolling[-len(chunk) :] = chunk
             if gate is not None:
+                # OR across the chunk's frames: speech fully contained in one
+                # chunk (started and released before chunk end) must still
+                # score, not just speech active at the final frame.
                 speaking = False
                 for f in range(0, len(chunk) - 319, 320):  # 20 ms VAD frames
-                    speaking = gate.update(chunk[f : f + 320])
+                    speaking = gate.update(chunk[f : f + 320]) or speaking
                 if speaking:
                     # keep scoring until the speech has rolled out of the buffer
                     speech_cooldown = ROLLING_SAMPLES // max(len(chunk), 1) + 1
                 elif speech_cooldown > 0:
                     speech_cooldown -= 1
                 else:
+                    # Window strides still elapse while skipped: feed silence
+                    # so a pre-silence score spike can't pair with the first
+                    # post-silence spike as a "consecutive" run.
+                    for score_gate in score_gates:
+                        score_gate.update(0.0)
                     if is_tty:
                         sys.stdout.write("\x1b[2J\x1b[H(listening — no speech)\n")
                         sys.stdout.flush()
@@ -172,9 +184,11 @@ def run_listen(
             for name, model, score_gate in zip(names, models, score_gates):
                 try:
                     score, duration = model.get(timeout=10.0)
-                except Exception:
+                except queue.Empty:
+                    # Late result (e.g. first-prediction compile); the model
+                    # thread discards it by sequence tag on the next get().
                     score, duration = 0.0, 0.0
-                flag = "*" if score > threshold else " "
+                flag = "*" if score >= threshold else " "
                 rows.append(f"{flag} {name:<30} {score:6.3f}  {duration * 1000:7.1f}ms")
                 if score_gate.update(score):
                     stamp = i * buffer_size / SAMPLE_RATE

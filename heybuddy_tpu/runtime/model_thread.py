@@ -27,12 +27,14 @@ class WakeWordModelThread:
     def __init__(self, checkpoint_path: str, threshold: float = 0.5) -> None:
         self.checkpoint_path = checkpoint_path
         self.threshold = threshold
-        self.input_queue: "queue.Queue[Optional[np.ndarray]]" = queue.Queue()
-        self.output_queue: "queue.Queue[Tuple[float, float]]" = queue.Queue()
+        self.input_queue: "queue.Queue[Optional[Tuple[int, np.ndarray]]]" = queue.Queue()
+        self.output_queue: "queue.Queue[Tuple[int, float, float]]" = queue.Queue()
         self.last_duration = 0.0
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self.run, daemon=True)
         self._model: Any = None
+        self._load_error: Optional[Exception] = None
+        self._seq = 0
         self._thread.start()
 
     def _load(self) -> Any:
@@ -44,15 +46,19 @@ class WakeWordModelThread:
         try:
             self._model = self._load()
         except Exception as ex:
+            # Remember the failure so get() can surface it instead of the
+            # caller blocking its full timeout on every put/get cycle.
+            self._load_error = ex
             logger.error(f"Failed to load {self.checkpoint_path}: {ex}")
             return
         while not self._stop.is_set():
             try:
-                audio = self.input_queue.get(timeout=0.5)
+                item = self.input_queue.get(timeout=0.5)
             except queue.Empty:
                 continue
-            if audio is None:
+            if item is None:
                 break
+            seq, audio = item
             start = time.perf_counter()
             try:
                 scores = self._model.predict(audio, return_scores=True)
@@ -61,14 +67,31 @@ class WakeWordModelThread:
                 logger.error(f"Prediction failed for {self.checkpoint_path}: {ex}")
                 score = 0.0
             self.last_duration = time.perf_counter() - start
-            self.output_queue.put((score, self.last_duration))
+            self.output_queue.put((seq, score, self.last_duration))
 
     def put(self, audio: np.ndarray) -> None:
-        self.input_queue.put(audio)
+        self._seq += 1
+        self.input_queue.put((self._seq, audio))
 
     def get(self, timeout: Optional[float] = None) -> Tuple[float, float]:
-        """Returns (score, seconds_taken)."""
-        return self.output_queue.get(timeout=timeout)
+        """Returns (score, seconds_taken) for the LATEST put().
+
+        Results are sequence-tagged: if an earlier get() timed out (e.g.
+        first-prediction jit compile) the late result is discarded here
+        rather than desynchronizing every later score from its audio chunk.
+        """
+        if self._load_error is not None:
+            raise RuntimeError(
+                f"model failed to load from {self.checkpoint_path}: {self._load_error}"
+            )
+        deadline = None if timeout is None else time.monotonic() + timeout
+        while True:
+            remaining = (
+                None if deadline is None else max(0.0, deadline - time.monotonic())
+            )
+            seq, score, duration = self.output_queue.get(timeout=remaining)
+            if seq == self._seq:
+                return score, duration
 
     def stop(self) -> None:
         self._stop.set()

@@ -50,32 +50,30 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
 
     from heybuddy_tpu.constants import CLIP_SAMPLES
-    from heybuddy_tpu.data.streams import RUNTIME_WINDOW_STRIDE, texts_to_stream
+    from heybuddy_tpu.data.streams import (
+        RUNTIME_WINDOW_STRIDE,
+        stream_window_clips,
+        stream_window_count,
+        synth_speech_stream,
+    )
     from heybuddy_tpu.models.featurizer import get_speech_embeddings
     from heybuddy_tpu.models.wakeword import WakeWordMLPModel
-    from heybuddy_tpu.text.wordlist import WORDS
 
-    # Same text construction as synth_speech_stream (data/streams.py).
-    rng = np.random.default_rng(args.seed)
-    vocabulary = sorted(set(WORDS) - set(args.phrase.lower().split()))
-    texts = []
-    for _ in range(256):
-        n_words = int(rng.integers(1, 7))
-        texts.append(" ".join(rng.choice(vocabulary, size=n_words, replace=False)))
-    stream, schedule = texts_to_stream(
-        texts, args.minutes, args.seed, tts_backend="formant", return_schedule=True
+    # The SAME stream distribution training negatives/fp-per-hour use.
+    stream, schedule = synth_speech_stream(
+        args.minutes, args.seed, exclude_phrase=args.phrase,
+        tts_backend="formant", return_schedule=True,
     )
 
     model = WakeWordMLPModel.from_file(args.checkpoint)
     emb = get_speech_embeddings()
     stride = RUNTIME_WINDOW_STRIDE
-    n = max((len(stream) - CLIP_SAMPLES) // stride + 1, 0)
+    n = stream_window_count(stream)
     scores = np.zeros(n, dtype=np.float32)
     for i in range(0, n, 512):
-        starts = np.arange(i, min(i + 512, n)) * stride
-        clips = np.stack([stream[s : s + CLIP_SAMPLES] for s in starts])
+        clips = stream_window_clips(stream, start=i, count=512)
         f = np.asarray(emb(clips), dtype=np.float32)
-        scores[i : i + len(starts)] = np.asarray(model(f)).reshape(-1)
+        scores[i : i + len(clips)] = np.asarray(model(f)).reshape(-1)
 
     def covering(start: int, end: int):
         return [t for (s, e, t) in schedule if s < end and e > start]
