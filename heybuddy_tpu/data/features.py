@@ -33,6 +33,12 @@ from heybuddy_tpu.utils.strings import safe_name
 
 __all__ = ["TrainingFeaturesGenerator"]
 
+# Disjoint seed-offset block per cache kind (train=0 / testing=1, partial=2/3,
+# clean-offset=4/5, negative-speech=6). Must exceed any realistic generated
+# cache size so `existing + written` can never cross into another kind's
+# block and reuse its TTS/augment seeds.
+_SEED_NAMESPACE = 10_000_000
+
 
 def autoconfigure_batch_sizes() -> Dict[str, int]:
     """
@@ -252,7 +258,11 @@ class TrainingFeaturesGenerator:
                 f"({existing} cached of {num_samples} requested)"
             )
             # Seed offset keys off the existing count so top-ups differ from
-            # the original batches.
+            # the original batches. Each cache kind gets a disjoint
+            # _SEED_NAMESPACE block so a training cache grown to any size can
+            # never reuse the TTS/augment seeds of its held-out counterpart
+            # (an additive +1000 was reachable by existing+written and leaked
+            # train rows into testing sets).
             written = 0
             batch_quota = DEFAULT_FEATURE_BATCH_SIZE
             while written < missing:
@@ -263,7 +273,8 @@ class TrainingFeaturesGenerator:
                     pad_only=validation,
                     store=store,
                     adversarial_phrases=adversarial_phrases,
-                    seed_offset=existing + written + (1000 if testing else 0),
+                    seed_offset=existing + written
+                    + (_SEED_NAMESPACE if testing else 0),
                 )
         else:
             logger.info(f"Using {num_samples} cached features for '{name}'")
@@ -366,7 +377,7 @@ class TrainingFeaturesGenerator:
                 self.phrase,
                 adversarial=adversarial,
                 batch_size=self.tts_batch_size,
-                seed=self.seed + existing + (3000 if testing else 2000),
+                seed=self.seed + existing + _SEED_NAMESPACE * (3 if testing else 2),
                 tts_backend=self.tts_backend,
                 **generator_kwargs,
             )
@@ -375,7 +386,7 @@ class TrainingFeaturesGenerator:
                 pad_only=False,
                 store=store,
                 limit=missing,
-                seed_offset=existing + (3000 if testing else 2000),
+                seed_offset=existing + _SEED_NAMESPACE * (3 if testing else 2),
                 config=config,
             )
         else:
@@ -447,7 +458,7 @@ class TrainingFeaturesGenerator:
                 self.phrase,
                 adversarial=adversarial,
                 batch_size=self.tts_batch_size,
-                seed=self.seed + existing + (5000 if testing else 4000),
+                seed=self.seed + existing + _SEED_NAMESPACE * (5 if testing else 4),
                 tts_backend=self.tts_backend,
                 **generator_kwargs,
             )
@@ -456,7 +467,7 @@ class TrainingFeaturesGenerator:
                 pad_only=False,
                 store=store,
                 limit=missing,
-                seed_offset=existing + (5000 if testing else 4000),
+                seed_offset=existing + _SEED_NAMESPACE * (5 if testing else 4),
                 config=config,
             )
         else:
@@ -604,6 +615,6 @@ class TrainingFeaturesGenerator:
             )
             self._featurize_stream(
                 speech(missing), pad_only=False, store=store, limit=missing,
-                seed_offset=existing + 5000,
+                seed_offset=existing + _SEED_NAMESPACE * 6,
             )
         return PrecalculatedDatasetIterator(name, directory=self.directory, seed=seed)

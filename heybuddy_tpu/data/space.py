@@ -83,7 +83,12 @@ def check_cache_space(npy_path: str) -> bool:
             f"stamping it with the active embedding space {current['space_id']}. "
             "Delete the .npy if it was produced by a different embedding."
         )
-        write_space_sidecar(npy_path, current)
+        try:
+            write_space_sidecar(npy_path, current)
+        except OSError as ex:
+            # Read-only dataset dirs (baked-in/shared shards) must still be
+            # usable: the stamp is an optimization, not a requirement.
+            logger.warning(f"Could not stamp {os.path.basename(npy_path)}: {ex}")
         return True
     if sidecar.get("space_id") == current["space_id"]:
         return True
@@ -117,8 +122,28 @@ def hosted_sets_compatible(context: str, local_path: Optional[str] = None) -> bo
 
     if local_path and os.path.exists(local_path):
         sidecar = read_space_sidecar(local_path)
-        if sidecar is not None and sidecar.get("space_id") == active_space()["space_id"]:
-            return True
+        if sidecar is not None:
+            if sidecar.get("space_id") == active_space()["space_id"]:
+                return True
+            # A sidecar-stamped local file in a DIFFERENT space is
+            # incompatible no matter which backend is active — falling
+            # through to the backend check would wire e.g. a trunkpool-space
+            # store into onnx-space training (the exact mix this module
+            # exists to block).
+            if os.environ.get("HEYBUDDY_ALLOW_SPACE_MISMATCH"):
+                logger.warning(
+                    f"{context}: {os.path.basename(local_path)} was produced in "
+                    f"embedding space {sidecar.get('space_id')}, not the active "
+                    "space; proceeding because HEYBUDDY_ALLOW_SPACE_MISMATCH is set."
+                )
+                return True
+            logger.warning(
+                f"{context}: {os.path.basename(local_path)} was produced in "
+                f"embedding space {sidecar.get('space_id')}, which does not match "
+                "the active embedding — disabling it. Delete the file to "
+                "regenerate/redownload, or set HEYBUDDY_ALLOW_SPACE_MISMATCH=1."
+            )
+            return False
 
     emb = get_speech_embeddings()
     if emb.backend == "onnx":

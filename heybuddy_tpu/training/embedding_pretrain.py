@@ -76,6 +76,13 @@ class EmbeddingPretrainer:
             if texts is not None
             else self._default_texts(num_texts, seed, adversarial_fraction)
         )
+        if batch_size > len(self.texts):
+            # Fail before the expensive clip-pool synthesis: train()'s
+            # replace=False text sampling would raise at step 0 otherwise.
+            raise ValueError(
+                f"batch_size ({batch_size}) exceeds the text pool "
+                f"({len(self.texts)}); pass more texts or a smaller batch"
+            )
         self.speakers_per_text = speakers_per_text
         self.batch_size = batch_size
         self.temperature = temperature
@@ -123,46 +130,103 @@ class EmbeddingPretrainer:
         n_cluster_texts = int(num_texts * adversarial_fraction)
         n_clusters = n_cluster_texts // cluster_size
         texts: List[str] = []
+        seen: set = set()
+
+        def add(text: str) -> bool:
+            # Deduplicate: duplicate phrases occupy distinct pool indices and
+            # can land in one batch as NT-Xent NEGATIVES of each other —
+            # pushing identical utterances apart fights the objective. At 8k
+            # texts over a 1.4k-word lexicon, 1-word duplicates are
+            # guaranteed by pigeonhole without this.
+            if text and text not in seen:
+                seen.add(text)
+                texts.append(text)
+                return True
+            return False
+
+        def add_random(max_words: int = 3) -> None:
+            for _ in range(100):
+                n = int(rng.integers(1, max_words + 1))
+                if add(" ".join(rng.choice(words, size=n, replace=False))):
+                    return
+
         for _ in range(num_texts - n_clusters * cluster_size):
-            n = int(rng.integers(1, 4))
-            texts.append(" ".join(rng.choice(words, size=n, replace=False)))
+            add_random()
         if n_clusters > 0:
             from heybuddy_tpu.text.adversarial import get_adversarial_text_generator
 
             adv = get_adversarial_text_generator()
             for c in range(n_clusters):
-                n = int(rng.integers(1, 3))
-                base = " ".join(rng.choice(words, size=n, replace=False))
-                texts.append(base)
-                neighbors = list(
-                    adv(base, num_samples=cluster_size - 1, seed=seed + 31 * c)
-                )
-                texts.extend(neighbors[: cluster_size - 1])
-                # Top up if the generator found fewer neighbors than asked.
-                for _ in range(cluster_size - 1 - len(neighbors)):
-                    n = int(rng.integers(1, 4))
-                    texts.append(" ".join(rng.choice(words, size=n, replace=False)))
+                before = len(texts)
+                for _ in range(100):
+                    n = int(rng.integers(1, 3))
+                    base = " ".join(rng.choice(words, size=n, replace=False))
+                    if base not in seen:
+                        break
+                add(base)
+                for neighbor in adv(base, num_samples=cluster_size - 1, seed=seed + 31 * c):
+                    add(neighbor)
+                # Top up if the generator found fewer (or duplicate) neighbors.
+                for _ in range(4 * cluster_size):
+                    if len(texts) >= before + cluster_size:
+                        break
+                    add_random()
         return texts
 
     def build_clip_pool(self) -> None:
-        """Synthesize speakers_per_text renderings of every text (host side)."""
+        """Synthesize speakers_per_text renderings of every text (host side).
+
+        Speakers and prosody settings are explicitly randomized PER RENDERING
+        rather than going through the batched ``BaseTTS.__call__`` contract:
+        that contract restarts its speaker/settings iterators on every call,
+        so a one-batch call always yields speaker pairs (0,0),(0,1),... at
+        the first settings tuple — with the formant backend every rendering
+        of every text collapsed to speaker 0 at one fixed prosody, the
+        contrastive views differed only by synthesis noise, and the speaker
+        invariance this pool exists to teach was never trained.
+        """
+        from heybuddy_tpu.constants import (
+            DEFAULT_TTS_LENGTH_SCALES,
+            DEFAULT_TTS_NOISE_SCALE_WEIGHTS,
+            DEFAULT_TTS_NOISE_SCALES,
+            DEFAULT_TTS_SLERP_WEIGHTS,
+            SAMPLE_RATE,
+        )
         from heybuddy_tpu.models.tts import get_tts_model
+        from heybuddy_tpu.utils.audio_io import resample_audio
 
         tts = get_tts_model(backend=self.tts_backend)
         n_texts = len(self.texts)
+        n_speakers = tts.num_speakers
         pool = np.zeros((n_texts, self.speakers_per_text, CLIP_SAMPLES), dtype=np.float32)
         lengths = np.zeros((n_texts, self.speakers_per_text), dtype=np.int32)
         logger.info(
-            f"Synthesizing clip pool: {n_texts} texts x {self.speakers_per_text} speakers"
+            f"Synthesizing clip pool: {n_texts} texts x {self.speakers_per_text} speakers "
+            f"(random speaker + prosody per rendering, {n_speakers} voices)"
         )
+        rng = np.random.default_rng(self.seed + 104729)
         for i, text in enumerate(self.texts):
-            samples = tts(
-                [text],
-                num_samples=self.speakers_per_text,
-                batch_size=self.speakers_per_text,
-                seed=self.seed + i,
-            )
-            for j, (_text, pcm) in enumerate(samples):
+            for j in range(self.speakers_per_text):
+                speakers = [
+                    (int(rng.integers(n_speakers)), int(rng.integers(n_speakers)))
+                ]
+                clips = tts.synthesize_batch(
+                    [text],
+                    speakers,
+                    slerp_weight=float(rng.choice(DEFAULT_TTS_SLERP_WEIGHTS)),
+                    length_scale=float(rng.choice(DEFAULT_TTS_LENGTH_SCALES)),
+                    noise_scale=float(rng.choice(DEFAULT_TTS_NOISE_SCALES)),
+                    noise_scale_w=float(rng.choice(DEFAULT_TTS_NOISE_SCALE_WEIGHTS)),
+                    seed=self.seed + i * 131 + j,
+                )
+                clip = np.asarray(clips[0], dtype=np.float32)
+                if tts.sample_rate != SAMPLE_RATE:
+                    clip = resample_audio(clip, tts.sample_rate, SAMPLE_RATE)
+                # Same post-processing as BaseTTS.__call__: peak-normalized
+                # int16 round-trip with zero-trimmed edges.
+                peak = max(0.01, float(np.abs(clip).max()))
+                pcm = np.clip(clip * (32767.0 / peak), -32768, 32767).astype(np.int16)
+                pcm = np.trim_zeros(pcm)
                 clip = pcm.astype(np.float32) / 32768.0
                 n = min(len(clip), CLIP_SAMPLES)
                 pool[i, j, :n] = clip[:n]

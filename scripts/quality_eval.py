@@ -114,32 +114,33 @@ def synth_adversarial_stream(phrase: str, minutes: float, seed: int):
 
 
 def sliding_features_scores(model, stream: np.ndarray, batch: int = 1024,
-                            window: int = 23040, stride: int = 1920):
-    """(features, scores) for every sliding window position over the stream.
+                            with_features: bool = True):
+    """(features, scores) for every sliding window position over the stream,
+    using the runtime window geometry shared in data/streams.py.
 
-    Features are computed ONCE through the shared featurizer, so mining can
-    reuse the exact (16, 96) inputs the classifier saw.
+    ``with_features=True`` keeps the (16, 96) inputs so mining can reuse the
+    exact features the classifier saw; the non-mining callers pass False to
+    skip the ~184 MB/hour-of-stream allocation.
     """
+    from heybuddy_tpu.data.streams import stream_window_clips, stream_window_count
     from heybuddy_tpu.models.featurizer import get_speech_embeddings
 
     emb = get_speech_embeddings()
-    n = max((len(stream) - window) // stride + 1, 0)
-    feats = np.zeros((n, 16, 96), dtype=np.float32)
+    n = stream_window_count(stream)
+    feats = np.zeros((n, 16, 96), dtype=np.float32) if with_features else None
     scores = np.zeros(n, dtype=np.float32)
-    starts = np.arange(n) * stride
     for i in range(0, n, batch):
-        chunk_starts = starts[i : i + batch]
-        clips = np.stack([stream[s : s + window] for s in chunk_starts])
+        clips = stream_window_clips(stream, start=i, count=batch)
         f = np.asarray(emb(clips), dtype=np.float32)
-        feats[i : i + batch] = f
-        scores[i : i + batch] = np.asarray(model(f)).reshape(-1)
+        if feats is not None:
+            feats[i : i + len(f)] = f
+        scores[i : i + len(f)] = np.asarray(model(f)).reshape(-1)
     return feats, scores
 
 
-def sliding_scores(model, stream: np.ndarray, batch: int = 1024,
-                   window: int = 23040, stride: int = 1920) -> np.ndarray:
+def sliding_scores(model, stream: np.ndarray, batch: int = 1024) -> np.ndarray:
     """Classifier score for every sliding window position over the stream."""
-    return sliding_features_scores(model, stream, batch, window, stride)[1]
+    return sliding_features_scores(model, stream, batch, with_features=False)[1]
 
 
 def operating_threshold(scores: np.ndarray, hours: float,
@@ -197,8 +198,10 @@ def main() -> None:
         args.heldout_samples = 12
         args.partial_samples = 12
         args.stream_samples = 12
+        args.val_stream_samples = 24
         args.steps = 40
         args.stream_minutes = min(args.stream_minutes, 1.0)
+        args.mine_rounds = min(args.mine_rounds, 1)
 
     dataset_dir = args.dataset_dir or tempfile.mkdtemp(prefix="quality-eval-")
     ckpt_dir = args.checkpoint_dir or os.path.join(dataset_dir, "ckpt")
@@ -274,6 +277,21 @@ def main() -> None:
     # stream windows from a seed disjoint from training's.
     val_pos = gen.get_validation_features(args.heldout_samples, testing=True)
     val_clean_offset = gen.get_clean_offset_features(args.heldout_samples, testing=True)
+    # REPORTING sets, disjoint from BOTH training coverage and the
+    # negative-weight controller's validation sets (fresh seed, separate
+    # cache dir so the {phrase}-testing-validation cache names don't
+    # collide): final clean-FRR metrics must not be measured on data any
+    # training-time feedback loop ever saw.
+    report_gen = TrainingFeaturesGenerator(
+        args.phrase,
+        directory=os.path.join(dataset_dir, "report"),
+        tts_backend="formant",
+        seed=args.seed + 50021,
+    )
+    report_clean = report_gen.get_validation_features(args.heldout_samples, testing=True)
+    report_clean_offset = report_gen.get_clean_offset_features(
+        args.heldout_samples, testing=True
+    )
     val_stream = (
         gen.get_stream_window_features(args.val_stream_samples, seed=args.seed + 999)
         if args.val_stream_samples > 0
@@ -397,8 +415,8 @@ def main() -> None:
     pos_scores = class_scores(pos_test)
     adv_scores = class_scores(adv_test)
     speech_scores = class_scores(speech_test)
-    clean_scores = class_scores(val_pos)  # pad-only (unaugmented) positives
-    clean_offset_scores = class_scores(val_clean_offset)  # clean, random offset
+    clean_scores = class_scores(report_clean)  # pad-only (unaugmented) positives
+    clean_offset_scores = class_scores(report_clean_offset)  # clean, random offset
     frr = float(np.mean(pos_scores < thr))
     frr_clean = float(np.mean(clean_scores < thr))
     frr_clean_offset = float(np.mean(clean_offset_scores < thr))
