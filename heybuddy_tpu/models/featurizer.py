@@ -79,6 +79,15 @@ def featurize_batch(
         audio = audio[None, :]
     b, t = audio.shape
     pooling = _resolve_pooling(pooling)
+    if pooling in ("mega", "fused") and jnp.dtype(compute_dtype) != jnp.bfloat16:
+        # The Pallas kernels hardcode bf16 matmuls; honoring a different
+        # requested dtype matters more than the kernel speedup (otherwise
+        # identical constructor args produce different numerics per platform).
+        pooling = "banded"
+    if pooling not in ("mega", "fused", "banded", "gather"):
+        raise ValueError(
+            f"unknown pooling {pooling!r}; expected auto/mega/fused/banded/gather"
+        )
     starts = embedding_window_starts(t)
     if pooling == "mega":
         from heybuddy_tpu.ops.pallas.featurize_kernel import fused_featurize
@@ -125,6 +134,13 @@ def featurize_batch_per_window(
     w = windows.shape[1]
     emb = apply_fn(params, windows.reshape(b * w, EMBEDDING_WINDOW_SIZE, -1))
     return emb.reshape(b, w, -1)
+
+
+@functools.lru_cache(maxsize=1)
+def _jitted_mel() -> Any:
+    # Cached so return_spectrograms doesn't build a fresh PjitFunction (and
+    # re-compile, 40-500 s on remote-compile backends) per call.
+    return jax.jit(mel_spectrogram)
 
 
 @functools.lru_cache(maxsize=8)
@@ -243,7 +259,7 @@ class SpeechEmbeddings:
             )
             from heybuddy_tpu.ops.melspec import num_frames
 
-            spec = np.asarray(jax.jit(mel_spectrogram)(jnp.asarray(mono)))[:b]
+            spec = np.asarray(_jitted_mel()(jnp.asarray(mono)))[:b]
             frames_per = num_frames(AUDIO_WINDOW_SIZE)
             hops = AUDIO_WINDOW_STRIDE // MEL_HOP_LENGTH
             per_window = [
@@ -288,7 +304,19 @@ def get_speech_embeddings(**kwargs: Any) -> SpeechEmbeddings:
         import os
 
         onnx_path = kwargs.pop("onnx_path", None) or os.environ.get("HEYBUDDY_EMBEDDING_ONNX")
-        if onnx_path and os.path.exists(onnx_path):
-            kwargs["onnx_path"] = onnx_path
+        if onnx_path:
+            if os.path.exists(onnx_path):
+                kwargs["onnx_path"] = onnx_path
+            else:
+                logger.warning(
+                    f"HEYBUDDY_EMBEDDING_ONNX/onnx_path {onnx_path!r} does not "
+                    "exist; falling back to the trunkpool embedding — features "
+                    "will NOT be in the reference feature space."
+                )
         _GLOBAL_EMBEDDINGS = SpeechEmbeddings(**kwargs)
+    elif kwargs:
+        logger.warning(
+            f"get_speech_embeddings ignoring {sorted(kwargs)}: the shared "
+            "featurizer was already constructed with different settings."
+        )
     return _GLOBAL_EMBEDDINGS

@@ -222,7 +222,6 @@ def _selector_constants(
         "k_index": k_index,
         "tile_h": tile_h,
         "gs": gs,
-        "rep": gs.T.copy(),  # (W, WH) -> transpose used as (WH <- W) broadcast
         "sel_h": sel_h,
     }
 

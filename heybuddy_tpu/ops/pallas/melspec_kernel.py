@@ -60,7 +60,14 @@ N_FREQ_PAD = 128  # mel band (124 bins) padded to one lane tile
 @functools.lru_cache(maxsize=None)
 def _constants() -> Tuple[np.ndarray, Tuple[int, ...], np.ndarray]:
     """(basis blocks (J, 160, 256), their hop offsets, filterbank (128, 32))."""
+    from heybuddy_tpu.ops.melspec import mel_band_freqs
+
     n_freqs = N_FREQ_PAD
+    assert n_freqs >= mel_band_freqs(), (
+        f"N_FREQ_PAD ({n_freqs}) no longer covers the mel band "
+        f"({mel_band_freqs()} bins; MEL_F_MAX changed?) — raising it keeps "
+        "the fused path numerically identical to ops.melspec"
+    )
     basis = dft_basis(MEL_N_FFT, MEL_WIN_LENGTH, None)  # (512, 2*257)
     full_bins = MEL_N_FFT // 2 + 1
     # keep the low n_freqs bins of both the cos and sin column blocks
@@ -86,7 +93,6 @@ def mel_spectrogram_pallas(
     audio: jax.Array,
     clip_tile: int = 16,
     interpret: bool = False,
-    out_frames: Optional[int] = None,
 ) -> jax.Array:
     """
     (b, t) int16-range float32 audio -> (b, n_frames, 32) scaled log-mel,
@@ -99,7 +105,7 @@ def mel_spectrogram_pallas(
         audio = audio[None]
     b, t = audio.shape
     hop = MEL_HOP_LENGTH
-    frames = num_frames(t) if out_frames is None else out_frames
+    frames = num_frames(t)
     f_pad = -(-frames // FRAME_CHUNK) * FRAME_CHUNK
     n_chunks = f_pad // FRAME_CHUNK
     n_hops = f_pad + 3  # frame f uses hops f..f+3 (512 = 3 hops + 32)
