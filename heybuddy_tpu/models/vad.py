@@ -213,11 +213,17 @@ class SileroStyleVAD(_TrimMixin):
     def _forward(self, params: Dict[str, Any], audio: Any, h: Any, c: Any):
         jnp = self._jnp
         jax = self._jax
-        # 256-point STFT magnitude, mean over frames -> (129,)
+        # 256-point STFT magnitude, mean over ALL frames -> (129,). Framing
+        # the whole chunk matters: scoring only the first 256 samples made
+        # speech in the later half of a 320/480-sample frame look like
+        # silence, landing trim boundaries a frame late.
+        b = audio.shape[0]
         n = audio.shape[-1]
-        window = jnp.hanning(min(256, n))
-        frame = audio[..., : window.shape[0]] * window
-        spec = jnp.abs(jnp.fft.rfft(frame, n=256, axis=-1))  # (b, 129)
+        n_frames = max(-(-n // 256), 1)
+        pad = n_frames * 256 - n
+        padded = jnp.pad(audio, ((0, 0), (0, pad)))
+        frames = padded.reshape(b, n_frames, 256) * jnp.hanning(256)
+        spec = jnp.abs(jnp.fft.rfft(frames, axis=-1)).mean(axis=1)  # (b, 129)
         feats = jnp.log1p(spec) @ params["enc_w"] + params["enc_b"]
         feats = jax.nn.relu(feats)
 
@@ -248,7 +254,14 @@ class SileroStyleVAD(_TrimMixin):
         audio = np.asarray(audio, dtype=np.float32)
         if audio.ndim == 1:
             audio = audio[np.newaxis, :]
-        prob, h, c = self._step(self.params, jnp.asarray(audio.mean(axis=0)[None]),
+        mono = audio.mean(axis=0)
+        # Pad to a 256-sample multiple so arbitrary chunk lengths (trim's
+        # variable trailing frame) reuse a handful of compiled shapes instead
+        # of one remote compile per distinct length.
+        target = max(256, -(-mono.shape[-1] // 256) * 256)
+        if mono.shape[-1] < target:
+            mono = np.pad(mono, (0, target - mono.shape[-1]))
+        prob, h, c = self._step(self.params, jnp.asarray(mono[None]),
                                 jnp.asarray(self.h), jnp.asarray(self.c))
         self.h = np.asarray(h)
         self.c = np.asarray(c)
@@ -311,16 +324,23 @@ class SileroOnnxVAD(_TrimMixin):
             )
 
     def __call__(self, audio: np.ndarray, sample_rate: int = SAMPLE_RATE, **_: Any) -> float:
+        if sample_rate != self.sample_rate:
+            # The sr input folds statically at trace time; silently scoring
+            # 8 kHz audio with a 16 kHz graph would give wrong probabilities.
+            raise ValueError(
+                f"SileroOnnxVAD was built for {self.sample_rate} Hz; got "
+                f"{sample_rate} Hz (construct a new instance for that rate)"
+            )
         audio = np.asarray(audio, dtype=np.float32)
         if audio.ndim == 2:
             audio = audio.mean(axis=0)
         # Silero expects fixed chunks (512 samples at 16 kHz for v5; v4 accepts
-        # flexible lengths) — pad/trim to a 512-sample frame.
+        # flexible lengths) — zero-pad up to whole chunks (truncating dropped
+        # up to 511 trailing samples, losing speech near the boundary).
         chunk = 512 if self.sample_rate == 16000 else 256
-        if audio.shape[-1] < chunk:
-            audio = np.pad(audio, (0, chunk - audio.shape[-1]))
-        else:
-            audio = audio[: (audio.shape[-1] // chunk) * chunk]
+        pad = (-audio.shape[-1]) % chunk
+        if pad or audio.shape[-1] == 0:
+            audio = np.pad(audio, (0, pad if audio.shape[-1] else chunk))
         probs = []
         for i in range(0, audio.shape[-1], chunk):
             out = self._step(self.params, audio[None, i : i + chunk], *self._state)

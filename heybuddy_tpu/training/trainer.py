@@ -169,6 +169,7 @@ class WakeWordTrainer:
         self.resumed_negative_weight: Optional[float] = None
         self._train_step_fn: Optional[Callable[..., Any]] = None
         self._eval_fn: Optional[Callable[..., Any]] = None
+        self._step_cache_key: Optional[Tuple[float, float]] = None
 
     # --- jitted step construction ------------------------------------------------
 
@@ -321,9 +322,12 @@ class WakeWordTrainer:
 
         ``step`` records the in-progress step of the current stage so resume
         can fast-forward; when omitted the resumed/initial step is kept.
+        ``self.start_step`` is deliberately NOT mutated here: it is consumed
+        (and cleared) once at train_epoch start, and a mid-stage checkpoint
+        that set it would make the NEXT stage skip that many steps as a
+        phantom resume.
         """
-        if step is not None:
-            self.start_step = step
+        recorded_step = self.start_step if step is None else step
         model_path = os.path.join(self.checkpoint_dir, f"{name}.npz")
         save_model(self.model, model_path)
         if optimizer:
@@ -332,7 +336,7 @@ class WakeWordTrainer:
                 pickle.dump([np.asarray(leaf) for leaf in leaves], f)
         state = {
             "stage": self.start_stage,
-            "step": self.start_step,
+            "step": recorded_step,
             "negative_weight": self.resumed_negative_weight,
         }
         with open(os.path.join(self.checkpoint_dir, f"{name}_state.json"), "w") as f:
@@ -443,8 +447,18 @@ class WakeWordTrainer:
         if hold_steps is None:
             hold_steps = num_steps // 3
 
-        train_step = self._build_train_step(high_loss_threshold, activation_threshold)
-        eval_fn = self._build_eval(activation_threshold)
+        # Reuse the jitted step/eval across stages: rebuilding creates fresh
+        # closures with empty jit caches, and on remote-compile backends each
+        # stage would pay the full compile again even for identical shapes.
+        cache_key = (high_loss_threshold, activation_threshold)
+        if self._train_step_fn is None or self._step_cache_key != cache_key:
+            self._train_step_fn = self._build_train_step(
+                high_loss_threshold, activation_threshold
+            )
+            self._eval_fn = self._build_eval(activation_threshold)
+            self._step_cache_key = cache_key
+        train_step = self._train_step_fn
+        eval_fn = self._eval_fn
 
         params = self.model.params
         opt_state = self.opt_state
@@ -560,7 +574,11 @@ class WakeWordTrainer:
 
             if step > 0 and step % checkpoint_steps == 0:
                 self.model.params = jax.device_get(params)
-                self.opt_state = opt_state
+                # device_get: train_step donates its opt_state argument, so a
+                # live device reference stored here is deleted on the next
+                # step — an exception after that would make save_checkpoint
+                # fail on deleted arrays.
+                self.opt_state = jax.device_get(opt_state)
                 self.save_checkpoint(f"{name}_{step}", step=step)
 
             if log_callback is not None and (
@@ -576,7 +594,7 @@ class WakeWordTrainer:
                 )
 
         self.model.params = jax.device_get(params)
-        self.opt_state = opt_state
+        self.opt_state = jax.device_get(opt_state)
         logger.info(f"{description} finished in {human_duration(time.perf_counter() - epoch_start)}")
         return {k: np.asarray(v, dtype=np.float64) for k, v in history.items()}
 
@@ -631,6 +649,13 @@ class WakeWordTrainer:
 
         if self.resumed_negative_weight:
             max_negative_weight = self.resumed_negative_weight
+
+        if self.start_stage and hasattr(training, "multiply_batch_size"):
+            # Resuming at stage N: the completed stages' batch-size halvings
+            # happened in the previous process, so re-apply them — LR/steps
+            # are recomputed per stage below, but batch size is cumulative
+            # dataset state and would otherwise stay at the stage-0 size.
+            training.multiply_batch_size(batch_size_adjust_ratio ** self.start_stage)
 
         for stage in range(self.start_stage, num_stages):
             stage_learning_rate = learning_rate * (learning_rate_adjust_ratio ** stage)
