@@ -174,7 +174,6 @@ class WakeWordInferenceMixin:
     """Audio-level prediction helpers (reference wakeword.py:36-169)."""
 
     def _predict_scores(self, audio: Any, min_frames: int = CLIP_SAMPLES) -> np.ndarray:
-        from heybuddy_tpu.constants import FEATURE_FRAMES
         from heybuddy_tpu.models.featurizer import get_speech_embeddings
         from heybuddy_tpu.utils.audio_io import audio_to_bct_array
 
@@ -200,7 +199,14 @@ class WakeWordInferenceMixin:
                 [embeddings[:, i * step : i * step + FEATURE_FRAMES] for i in range(k)],
                 axis=1,
             )  # (n, k, 16, 96)
-            flat_scores = np.asarray(self(windows.reshape(n * k, FEATURE_FRAMES, -1)))
+            flat = windows.reshape(n * k, FEATURE_FRAMES, -1)
+            # Pad the classifier batch to a power-of-two bucket: every
+            # distinct audio duration otherwise produces a distinct n*k and a
+            # fresh jit compile (40-500 s each on remote-compile backends).
+            bucket = 1 << max(int(np.ceil(np.log2(max(flat.shape[0], 1)))), 0)
+            if bucket > flat.shape[0]:
+                flat = np.pad(flat, ((0, bucket - flat.shape[0]), (0, 0), (0, 0)))
+            flat_scores = np.asarray(self(flat))[: n * k]
             return flat_scores.reshape(n, k).max(axis=1)
 
         scores = np.asarray(self(embeddings))  # type: ignore[operator]
@@ -482,9 +488,11 @@ class WakeWordTransformerModel(WakeWordInferenceMixin):
             "layernorm": _layernorm_init(self.dim),
             "blocks": [],
             "final": {
-                # FinalLayer: affine-free norm + zero-init fc (modules/final.py:11-56)
+                # FinalLayer: affine-free norm + zero-init fc (modules/final.py:11-56).
+                # No modulator: apply never modulates (the reference's
+                # ModulatingFinalLayer also skips it for modulations=None), so
+                # initializing one only bloated checkpoints with dead weights.
                 "fc": {"w": jnp.zeros((self.input_frames, 1)), "b": jnp.zeros((1,))},
-                "modulator": _linear_init(keys[1], self.input_frames, 2 * self.input_frames),
             },
         }
         for i in range(self.num_layers):
@@ -539,9 +547,16 @@ class WakeWordTransformerModel(WakeWordInferenceMixin):
             x = _dropout(x, self.dropout, rng)
         act = ACTIVATIONS[self.activation]
         x = act(_layernorm(params["layernorm"], _linear(params["linear_in"], x)))
+        eps = self.norm_epsilon
         for block in params["blocks"]:
-            x = x + self._attention(block["attention"], _layernorm(block["attention_norm"], x))
-            x = x + _mlp_apply(block["feed_forward"], _layernorm(block["feed_forward_norm"], x), self.activation)
+            x = x + self._attention(
+                block["attention"], _layernorm(block["attention_norm"], x, eps=eps)
+            )
+            x = x + _mlp_apply(
+                block["feed_forward"],
+                _layernorm(block["feed_forward_norm"], x, eps=eps),
+                self.activation,
+            )
         # (b, frames, dim) -> (b, dim, frames); final layer normalizes over frames.
         x = jnp.swapaxes(x, 1, 2)
         xf = x.astype(jnp.float32)

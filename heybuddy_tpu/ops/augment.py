@@ -24,7 +24,7 @@ reference's).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -108,7 +108,11 @@ def random_center_pad(
 ) -> jax.Array:
     """
     Place each left-aligned clip at a random offset inside the target window
-    (reference augmented.py:200-232 random center padding).
+    (role of reference augmented.py:200-232). DELIBERATE deviation: offsets
+    are uniform over the FULL free range [0, free] rather than the
+    reference's middle half [free/4, 3*free/4) — edge-flush placements are
+    exactly the alignments the sliding runtime produces, and restricting to
+    the middle measurably hurt sliding-offset recall.
 
     ``audio``: (b, target_samples) zero-padded left-aligned; ``lengths``: (b,).
     """
@@ -205,11 +209,16 @@ def _tanh_distortion(key: jax.Array, audio: jax.Array, cfg: AugmentConfig) -> ja
     return distorted * rms_before / (_rms(distorted) + 1e-9)
 
 
-def _pitch_shift(key: jax.Array, audio: jax.Array, cfg: AugmentConfig) -> jax.Array:
+def _pitch_shift(
+    key: jax.Array, audio: jax.Array, lengths: jax.Array, cfg: AugmentConfig
+) -> Tuple[jax.Array, jax.Array]:
     """
     Per-batch resampling pitch shift: read the waveform at a constant-rate
     offset grid (linear interpolation), which shifts pitch by the resample
-    ratio; the window is refilled by tiling so length is preserved.
+    ratio. Positions past the source window read SILENCE (not a clamped DC
+    plateau), and the returned lengths are rescaled by 1/ratio — the shift
+    changes the clip's effective duration, and downstream placement rolling
+    with stale lengths wrapped phrase tails around the window edge.
     """
     b, t = audio.shape
     semis = jax.random.uniform(
@@ -217,11 +226,18 @@ def _pitch_shift(key: jax.Array, audio: jax.Array, cfg: AugmentConfig) -> jax.Ar
     )
     ratio = 2.0 ** (semis / 12.0)
     positions = jnp.arange(t, dtype=jnp.float32) * ratio
+    in_range = positions <= (t - 1.0)
     positions = jnp.minimum(positions, t - 1.0)
     lower = jnp.floor(positions).astype(jnp.int32)
     frac = positions - lower.astype(jnp.float32)
     upper = jnp.minimum(lower + 1, t - 1)
-    return audio[:, lower] * (1.0 - frac) + audio[:, upper] * frac
+    out = (audio[:, lower] * (1.0 - frac) + audio[:, upper] * frac) * in_range[None, :]
+    # output index i reads input i*ratio -> occupied support [0, L) maps to
+    # [0, L/ratio): effective length scales by the inverse ratio.
+    new_lengths = jnp.minimum(
+        jnp.ceil(lengths.astype(jnp.float32) / ratio), float(t)
+    ).astype(lengths.dtype)
+    return out, new_lengths
 
 
 def _band_stop(key: jax.Array, audio: jax.Array, cfg: AugmentConfig) -> jax.Array:
@@ -357,9 +373,16 @@ def augment_batch(
 
     x = _maybe(keys[0], cfg.seven_band_prob, _seven_band_eq(keys[1], audio, cfg), audio)
     x = _maybe(keys[2], cfg.tanh_distortion_prob, _tanh_distortion(keys[3], x, cfg), x)
-    x = _maybe(
-        keys[4], cfg.pitch_shift_prob, _pitch_shift(keys[5], x, cfg), x, per_clip=False
-    )
+    shifted, shifted_lengths = _pitch_shift(keys[5], x, lengths, cfg)
+    # One per-batch bernoulli decides BOTH the audio and its lengths so the
+    # placement stage below never sees audio/length mismatch (same draw
+    # semantics as _maybe(per_clip=False)).
+    if cfg.pitch_shift_prob >= 1.0:
+        x, lengths = shifted, shifted_lengths
+    elif cfg.pitch_shift_prob > 0.0:
+        apply_pitch = jax.random.bernoulli(keys[4], cfg.pitch_shift_prob, ())
+        x = jnp.where(apply_pitch, shifted, x)
+        lengths = jnp.where(apply_pitch, shifted_lengths, lengths)
     x = _maybe(keys[6], cfg.band_stop_prob, _band_stop(keys[7], x, cfg), x)
     x = _maybe(keys[8], cfg.colored_noise_prob, _colored_noise(keys[9], x, cfg), x)
     x = _maybe(keys[10], cfg.gain_prob, _gain(keys[11], x, cfg), x)

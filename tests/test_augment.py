@@ -154,3 +154,42 @@ def test_augment_batch_edge_placement():
     for row in out:
         e = float(np.sum(row**2))
         assert 0.0 < e < full_energy
+
+
+def test_pitch_shift_rescales_lengths_and_fills_silence():
+    """The resampling pitch shift changes effective duration: returned
+    lengths must rescale by 1/ratio (stale lengths made placement wrap phrase
+    tails around the window edge) and out-of-support reads must be silence,
+    not a clamped DC plateau."""
+    import jax
+    import jax.numpy as jnp
+
+    from heybuddy_tpu.ops.augment import AugmentConfig, _pitch_shift
+
+    t = 23040
+    cfg = AugmentConfig()
+    key = jax.random.PRNGKey(3)
+    # replicate the kernel's own draw to know the ratio
+    semis = jax.random.uniform(
+        key, (), minval=-float(cfg.pitch_shift_semitones),
+        maxval=float(cfg.pitch_shift_semitones),
+    )
+    ratio = float(2.0 ** (semis / 12.0))
+
+    audio = np.zeros((2, t), np.float32)
+    lengths = np.array([12000, t], np.int32)
+    audio[0, :12000] = 1.0
+    audio[1, :] = 1.0
+    out, new_lengths = _pitch_shift(key, jnp.asarray(audio), jnp.asarray(lengths), cfg)
+    out = np.asarray(out)
+    new_lengths = np.asarray(new_lengths)
+
+    expected = np.minimum(np.ceil(lengths / ratio), t).astype(np.int32)
+    np.testing.assert_array_equal(new_lengths, expected)
+    # support ends where reads pass the original occupied region
+    assert abs(out[0, : new_lengths[0] - 1]).min() > 0.4
+    assert abs(out[0, new_lengths[0] + 1 :]).max() == 0.0
+    # positions past the source window read silence for the full-length clip
+    if ratio > 1.0:
+        end = int((t - 1) / ratio)
+        assert abs(out[1, end + 2 :]).max() == 0.0
