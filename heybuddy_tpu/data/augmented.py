@@ -86,6 +86,7 @@ class NoiseProvider:
 
             def stream() -> Iterator[np.ndarray]:
                 while True:
+                    yielded = False
                     for dataset_id in dataset_ids:
                         ds = load_dataset(dataset_id, split="train", streaming=True)
                         for sample in ds:
@@ -94,7 +95,13 @@ class NoiseProvider:
                             rate = int(audio["sampling_rate"])
                             if rate != self.sample_rate:
                                 arr = resample_audio(arr, rate, self.sample_rate)
+                            yielded = True
                             yield arr
+                    if not yielded:
+                        # An empty/filtered repo would otherwise spin forever
+                        # under noise_batch's lock; raising routes to the
+                        # synthetic fallback there.
+                        raise RuntimeError("background-noise datasets yielded no samples")
 
             # Network I/O is deferred to first use; failures there fall back to
             # synthetic noise inside noise_batch().
@@ -214,17 +221,27 @@ class AugmentedAudioGenerator:
         self.sample_rate = sample_rate
         self.target_samples = int(target_length * sample_rate)
         self.pad_only = pad_only
+        # pad_only never augments, so don't let the NoiseProvider eagerly
+        # download noise/impulse corpora for a validation path.
         self.noise = noise_provider or NoiseProvider(
-            sample_rate=sample_rate, seed=seed, use_remote=config.background_noise_prob > 0
-            or config.reverb_prob > 0,
+            sample_rate=sample_rate, seed=seed,
+            use_remote=not pad_only
+            and (config.background_noise_prob > 0 or config.reverb_prob > 0),
         )
         self.seed = seed
+        # Persists across __call__ invocations: resetting per call replayed
+        # identical augmentation PRNG draws on every re-iteration.
+        self._batch_index = 0
 
     def _prepare_clip(self, sample: Dict[str, Any]) -> np.ndarray:
         audio = sample["audio"]
-        arr = np.asarray(audio["array"], dtype=np.float32)
-        if arr.dtype == np.int16 or np.abs(arr).max() > 4.0:
-            arr = arr.astype(np.float32) / 32768.0
+        raw = np.asarray(audio["array"])
+        arr = raw.astype(np.float32)
+        if arr.size == 0:
+            return arr
+        # Test the ORIGINAL dtype: after the float32 cast it is never int16.
+        if raw.dtype == np.int16 or np.abs(arr).max() > 4.0:
+            arr = arr / 32768.0
         rate = int(audio.get("sampling_rate", self.sample_rate))
         if rate != self.sample_rate:
             arr = resample_audio(arr, rate, self.sample_rate)
@@ -248,39 +265,50 @@ class AugmentedAudioGenerator:
                 out[i, offset : offset + lengths[i]] = audio[i, : lengths[i]]
             return out
 
+        # Pad short tail batches to the full batch size: a different batch
+        # shape traces a second jitted augment program (40-500 s remote
+        # compile each on the tunneled TPU).
+        full = max(self.batch_size, b)
+        if b < full:
+            audio = np.pad(audio, ((0, full - b), (0, 0)))
+            lengths = np.pad(lengths, (0, full - b))
         noise = (
-            self.noise.noise_batch(b, self.target_samples)
+            self.noise.noise_batch(full, self.target_samples)
             if self.config.background_noise_prob > 0
             else np.zeros_like(audio)
         )
         impulse = (
-            self.noise.impulse_batch(b)
+            self.noise.impulse_batch(full)
             if self.config.reverb_prob > 0
-            else np.zeros((b, 256), dtype=np.float32)
+            else np.zeros((full, 256), dtype=np.float32)
         )
         key = self._jax.random.fold_in(self._jax.random.PRNGKey(self.seed), batch_index)
         out = augment_batch(key, audio, lengths, noise, impulse, self.config)
-        return np.asarray(out)
+        return np.asarray(out)[:b]
 
     def __call__(self, **kwargs: Any) -> Iterator[Dict[str, Any]]:
         """Yield augmented samples, one dict per clip."""
         clips: List[np.ndarray] = []
         phrases: List[str] = []
-        batch_index = 0
         for sample in self.source_dataset:
-            clips.append(self._prepare_clip(sample))
+            clip = self._prepare_clip(sample)
+            if clip.size == 0:
+                logger.warning("Skipping zero-length source clip")
+                continue
+            clips.append(clip)
             phrases.append(sample.get("phrase", ""))
             if len(clips) >= self.batch_size:
-                augmented = self.execute_augment_batch(clips, batch_index)
+                augmented = self.execute_augment_batch(clips, self._batch_index)
                 for i in range(len(clips)):
                     yield {
                         "audio": {"array": augmented[i], "sampling_rate": self.sample_rate},
                         "phrase": phrases[i],
                     }
                 clips, phrases = [], []
-                batch_index += 1
+                self._batch_index += 1
         if clips:
-            augmented = self.execute_augment_batch(clips, batch_index)
+            augmented = self.execute_augment_batch(clips, self._batch_index)
+            self._batch_index += 1
             for i in range(len(clips)):
                 yield {
                     "audio": {"array": augmented[i], "sampling_rate": self.sample_rate},

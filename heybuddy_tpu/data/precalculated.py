@@ -14,11 +14,12 @@ from __future__ import annotations
 import os
 import re
 import threading
-from typing import Any, Dict, Iterator, Optional, Set
+from typing import Any, Dict, Iterator, List, Optional, Set
 
 import numpy as np
 
 from heybuddy_tpu.utils.downloads import check_download_file, get_cache_dir
+from heybuddy_tpu.utils.log import logger
 
 __all__ = [
     "PrecalculatedDatasetIterator",
@@ -159,29 +160,53 @@ class PrecalculatedDatasetIterator:
         return batch
 
     def _take_unlocked(self, n: int) -> np.ndarray:
-        idx = self.indexes[self.index : self.index + n]
-        batch = np.asarray(self.precalculated[idx])
-        if batch.shape[0] < n:
-            self.index = n - batch.shape[0]
-            self.shuffle()
-            batch = np.concatenate([batch, np.asarray(self.precalculated[self.indexes[: self.index]])])
+        # Iterative wraparound collection. This must stay loop-based with a
+        # pass bound: the old recursive top-up hit RecursionError when the
+        # exclude filter discarded (nearly) every row, and the old wraparound
+        # arithmetic corrupted self.index for n > len(self), after which
+        # every later take() returned short batches.
+        chunks: List[np.ndarray] = []
+        have = 0
+        passes = 0
+        while have < n and passes < 32:
+            passes += 1
+            remaining = len(self.indexes) - self.index
+            if remaining <= 0:
+                self.index = 0
+                self.shuffle()
+                remaining = len(self.indexes)
+                if remaining <= 0:
+                    break
+            count = min(n - have, remaining)
+            idx = self.indexes[self.index : self.index + count]
+            self.index += count
+            batch = np.asarray(self.precalculated[idx])
+            if self.labeled:
+                if self.exclude_phrase is not None and self.exclude_tokens:
+                    # Row -1 holds token ids as float32; drop rows sharing any
+                    # token with the exclude phrase (vectorized, unlike the
+                    # reference's per-row Python set test).
+                    token_rows = batch[:, -1, :].astype(np.int64)
+                    exclude = np.fromiter(self.exclude_tokens, dtype=np.int64)
+                    mask = ~np.isin(token_rows, exclude).any(axis=1)
+                    batch = batch[mask]
+                batch = batch[:, :-1]
+            if batch.shape[0]:
+                chunks.append(batch)
+                have += batch.shape[0]
+        if have < n:
+            logger.warning(
+                f"'{self.name}': only {have} of {n} requested rows available "
+                "(exclude-phrase filtering may discard most of this set)"
+            )
+        if chunks:
+            batch = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
         else:
-            self.index += n
-
-        if self.labeled:
-            if self.exclude_phrase is not None and self.exclude_tokens:
-                # Row -1 holds token ids as float32; drop rows sharing any token
-                # with the exclude phrase (vectorized, unlike the reference's
-                # per-row Python set test).
-                token_rows = batch[:, -1, :].astype(np.int64)
-                exclude = np.fromiter(self.exclude_tokens, dtype=np.int64)
-                mask = ~np.isin(token_rows, exclude).any(axis=1)
-                batch = batch[mask]
-            batch = batch[:, :-1]
-            if batch.shape[0] < n:
-                batch = np.concatenate([batch, self._take_unlocked(n - batch.shape[0])])
-
-        self.total_taken += n
+            shape = self.precalculated.shape
+            width = shape[1] - (1 if self.labeled else 0)
+            batch = np.zeros((0, width, shape[2]), dtype=self.precalculated.dtype)
+        batch = batch[:n]
+        self.total_taken += batch.shape[0]
         return batch
 
     def iterate(self) -> Iterator[np.ndarray]:
