@@ -153,7 +153,11 @@ class OnnxJaxFunction:
             return np.full(_as_int_list(args[0]), fill)
         if op == "Range":
             if not _is_static(*args):
-                return jnp.arange(args[0], args[1], args[2])
+                # jnp.arange on tracers raises a generic ConcretizationTypeError
+                # deep in tracing; keep the module's loud-failure contract.
+                raise NotImplementedError(
+                    "Range with traced start/limit/delta (shape must be static)"
+                )
             return np.arange(
                 np.asarray(args[0]).item(), np.asarray(args[1]).item(), np.asarray(args[2]).item()
             )
@@ -191,7 +195,13 @@ class OnnxJaxFunction:
         if op == "Mul":
             return args[0] * args[1]
         if op == "Div":
-            return args[0] / args[1]
+            a, b = args[0], args[1]
+            a_kind = np.asarray(a).dtype.kind if _is_static(a) else a.dtype.kind
+            if a_kind in "iu":
+                # ONNX integer Div truncates toward zero (C semantics);
+                # true division would also change the dtype to float.
+                return jax.lax.div(jnp.asarray(a), jnp.asarray(b))
+            return a / b
         if op == "Pow":
             return args[0] ** args[1]
         if op == "Sqrt":
@@ -295,8 +305,10 @@ class OnnxJaxFunction:
             ]
             return jnp.reshape(args[0], shape)
         if op == "Flatten":
-            axis = node.attr("axis", 1)
+            axis = int(node.attr("axis", 1))
             shape = np.shape(args[0])
+            if axis < 0:  # legal since opset 11: relative to rank
+                axis += len(shape)
             lead = int(np.prod(shape[:axis])) if axis > 0 else 1
             return jnp.reshape(args[0], (lead, -1))
         if op == "Transpose":
@@ -313,8 +325,11 @@ class OnnxJaxFunction:
             axes = node.attr("axes")
             if axes is None:
                 axes = _as_int_list(args[1])
+            # Negative axes are relative to the OUTPUT rank (input rank +
+            # len(axes)); normalizing per-insert mishandled multiple axes.
             out = args[0]
-            for a in sorted(int(x) if int(x) >= 0 else int(x) + np.ndim(out) + 1 for x in axes):
+            out_rank = np.ndim(out) + len(list(axes))
+            for a in sorted(int(x) % out_rank for x in axes):
                 out = jnp.expand_dims(out, a)
             return out
         if op == "Concat":
@@ -399,6 +414,12 @@ class OnnxJaxFunction:
             axes = node.attr("axes")
             if axes is None and len(args) > 1 and args[1] is not None:
                 axes = _as_int_list(args[1])
+            if axes is not None and len(list(axes)) == 0:
+                # Explicit empty axes = reduce ALL dims unless the graph opts
+                # into noop semantics (axis=() would be a silent identity).
+                axes = None if not node.attr("noop_with_empty_axes", 0) else []
+                if axes == []:
+                    return args[0]
             axes_t = tuple(int(a) for a in axes) if axes is not None else None
             keep = bool(node.attr("keepdims", 1))
             fn = {
@@ -531,6 +552,10 @@ class OnnxJaxFunction:
         dilations = [int(d) for d in node.attr("dilations", [1] * n)]
         if any(d != 1 for d in dilations):
             raise NotImplementedError("Pooling dilation")
+        if node.attr("ceil_mode", 0):
+            # Silently flooring would return a shorter output than the graph
+            # specifies; fail loudly per the module contract.
+            raise NotImplementedError("Pooling ceil_mode=1")
         padding = self._conv_padding(node, np.shape(x)[2:], kernel, strides, dilations)
         window = (1, 1) + tuple(kernel)
         strides_full = (1, 1) + tuple(strides)
@@ -568,6 +593,10 @@ class OnnxJaxFunction:
         c0 = args[6] if len(args) > 6 and args[6] is not None else jnp.zeros(
             (n_dirs, batch, hidden), jnp.float32
         )
+        if len(args) > 4 and args[4] is not None:
+            # Scanning the full padded length would silently corrupt Y/Y_h/Y_c
+            # for every sequence shorter than the pad.
+            raise NotImplementedError("LSTM sequence_lens input")
         if len(args) > 7 and args[7] is not None:
             raise NotImplementedError("LSTM peephole weights")
         direction = node.attr("direction", "forward")
@@ -614,7 +643,13 @@ _STATIC_SAFE_OPS: Dict[str, Callable[[Any, List[Optional[np.ndarray]]], np.ndarr
     "Add": _np_binop(np.add),
     "Sub": _np_binop(np.subtract),
     "Mul": _np_binop(np.multiply),
-    "Div": _np_binop(lambda a, b: a // b if a.dtype.kind in "iu" and b.dtype.kind in "iu" else a / b),
+    # ONNX integer Div truncates toward zero (C semantics), NOT numpy floor:
+    # Div(-7, 2) must be -3, not -4.
+    "Div": _np_binop(
+        lambda a, b: np.trunc(np.true_divide(a, b)).astype(a.dtype)
+        if a.dtype.kind in "iu" and b.dtype.kind in "iu"
+        else a / b
+    ),
     "Concat": lambda node, args: np.concatenate(
         [a for a in args if a is not None], axis=node.attr("axis", 0)
     ),

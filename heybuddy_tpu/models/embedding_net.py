@@ -362,17 +362,31 @@ def default_params(seed: int = DEFAULT_SEED, config: Optional[EmbeddingNetConfig
     3. deterministic fixed-seed initialization (reproducible cached features).
     """
     env_path = os.environ.get("HEYBUDDY_EMBEDDING_WEIGHTS")
-    if env_path and os.path.exists(env_path):
-        return load_params(env_path)
+    if env_path:
+        if os.path.exists(env_path):
+            cache_key: Any = ("env", os.path.abspath(env_path))
+            if cache_key not in _DEFAULT_PARAMS_CACHE:
+                _DEFAULT_PARAMS_CACHE[cache_key] = load_params(env_path)
+            return _DEFAULT_PARAMS_CACHE[cache_key]
+        from heybuddy_tpu.utils.log import logger
+
+        logger.warning(
+            f"HEYBUDDY_EMBEDDING_WEIGHTS={env_path!r} does not exist; falling "
+            "back to the bundled/seed weights — a DIFFERENT feature space "
+            "that invalidates caches produced with the intended weights."
+        )
     bundled = bundled_weights_path()
     if bundled is not None:
-        cache_key = -1
+        cache_key = ("bundled",)
         if cache_key not in _DEFAULT_PARAMS_CACHE:
             _DEFAULT_PARAMS_CACHE[cache_key] = load_params(bundled)
         return _DEFAULT_PARAMS_CACHE[cache_key]
-    if seed not in _DEFAULT_PARAMS_CACHE:
-        _DEFAULT_PARAMS_CACHE[seed] = init_params(jax.random.PRNGKey(seed), config)
-    return _DEFAULT_PARAMS_CACHE[seed]
+    # Key by config too: a cache hit for the same seed must not hand a
+    # non-default architecture the default architecture's weights.
+    cache_key = ("seed", seed, config)
+    if cache_key not in _DEFAULT_PARAMS_CACHE:
+        _DEFAULT_PARAMS_CACHE[cache_key] = init_params(jax.random.PRNGKey(seed), config)
+    return _DEFAULT_PARAMS_CACHE[cache_key]
 
 
 class OnnxEmbeddingNet:
