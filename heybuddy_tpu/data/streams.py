@@ -134,6 +134,14 @@ def synth_adversarial_stream(
     from heybuddy_tpu.text.adversarial import get_adversarial_text_generator
 
     texts = list(get_adversarial_text_generator()(phrase, num_samples=num_texts, seed=seed))
+    if not texts:
+        # A neighbor-less phrase yields no adversarial texts (the generator's
+        # degenerate-case early return). Ordinary speech excluding the phrase
+        # is the only safe fallback — streaming the phrase itself would plant
+        # true positives in a NEGATIVE stream.
+        return synth_speech_stream(
+            minutes, seed + 1, exclude_phrase=phrase, tts_backend=tts_backend
+        )
     return texts_to_stream(texts, minutes, seed + 1, tts_backend=tts_backend)
 
 

@@ -74,6 +74,13 @@ def get_mesh(
         data = len(devices) // model
     if data * model > len(devices):
         raise ValueError(f"Mesh {data}x{model} needs {data * model} devices, have {len(devices)}")
+    if data * model < len(devices):
+        from heybuddy_tpu.utils.log import logger
+
+        logger.warning(
+            f"Mesh {data}x{model} uses {data * model} of {len(devices)} devices; "
+            f"{len(devices) - data * model} devices will sit idle"
+        )
     grid = devices[: data * model].reshape(data, model)
     return Mesh(grid, axis_names=("data", "model"))
 

@@ -84,8 +84,14 @@ class Lexicon:
         return self.entries.get(word.lower())
 
     def search(self, pattern: str) -> List[str]:
-        """Words whose phone string contains the pattern (pronouncing semantics)."""
-        regex = re.compile(pattern)
+        """Words whose phone string contains the pattern (pronouncing semantics).
+
+        The pattern is anchored with word boundaries like pronouncing.search
+        (reference lang_util via pronouncing): without them a literal phone
+        matches prefixes of longer phones (T inside TH, S inside SH), letting
+        words 2+ phoneme edits away pose as near-collisions.
+        """
+        regex = re.compile(r"\b" + pattern + r"\b")
         return [word for word, phones in self._items if regex.search(phones)]
 
 
@@ -135,6 +141,10 @@ class AdversarialTextGenerator:
             phones = self._phonemizer.word_phones(word)
             phone_str = _stress_phones(phones)
         phones = phone_str.split()
+        if not phones:
+            # Digits/punctuation-only "words" phonemize to nothing; an empty
+            # query would regex-match EVERY lexicon entry.
+            return []
         exact = " ".join(re.sub(r"\d+", "", p) for p in phones)
 
         candidates: List[str] = []
@@ -207,11 +217,17 @@ class AdversarialTextGenerator:
 
 
 _GLOBAL_GENERATOR: Optional[AdversarialTextGenerator] = None
+_GLOBAL_GENERATOR_KWARGS: dict = {}
 
 
 def get_adversarial_text_generator(**kwargs) -> AdversarialTextGenerator:
-    """Shared generator instance (reference lang_util.py:169-178)."""
-    global _GLOBAL_GENERATOR
-    if _GLOBAL_GENERATOR is None:
+    """Shared generator instance (reference lang_util.py:169-178).
+
+    Rebuilds when called with different kwargs than the cached instance —
+    silently returning a differently-configured singleton would drop the
+    caller's parameters."""
+    global _GLOBAL_GENERATOR, _GLOBAL_GENERATOR_KWARGS
+    if _GLOBAL_GENERATOR is None or kwargs != _GLOBAL_GENERATOR_KWARGS:
         _GLOBAL_GENERATOR = AdversarialTextGenerator(**kwargs)
+        _GLOBAL_GENERATOR_KWARGS = dict(kwargs)
     return _GLOBAL_GENERATOR

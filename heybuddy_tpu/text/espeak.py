@@ -58,7 +58,11 @@ class EspeakPhonemizer:
     freely: ``"hello world" -> "[HH][AH][L][OW] [W][ER][L][D]"``.
     """
 
-    _AUDIO_OUTPUT_SYNCH_PLAYBACK = 0x02
+    # espeak-ng AUDIO_OUTPUT enum value 2 = AUDIO_OUTPUT_SYNCHRONOUS: no
+    # audio device is opened — required for a phonemize-only binding in
+    # headless environments (value 3 would be SYNCH_PLAYBACK and try to
+    # open an audio output).
+    _AUDIO_OUTPUT_SYNCHRONOUS = 0x02
     _CHARS_UTF8 = 1
     _PHONEMES_IPA = 0x02
 
@@ -77,7 +81,7 @@ class EspeakPhonemizer:
             ctypes.c_int,
             ctypes.c_int,
         ]
-        rate = self.lib.espeak_Initialize(self._AUDIO_OUTPUT_SYNCH_PLAYBACK, 0, None, 0)
+        rate = self.lib.espeak_Initialize(self._AUDIO_OUTPUT_SYNCHRONOUS, 0, None, 0)
         if rate <= 0:
             raise RuntimeError("espeak_Initialize failed")
         if self.lib.espeak_SetVoiceByName(voice.encode()) != 0:

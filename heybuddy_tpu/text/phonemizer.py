@@ -40,7 +40,7 @@ _EXCEPTIONS: Dict[str, str] = {
     "any": "EH N IY", "many": "M EH N IY", "very": "V EH R IY",
     "every": "EH V R IY", "people": "P IY P AH L", "water": "W AO T ER",
     "woman": "W UH M AH N", "women": "W IH M AH N", "world": "W ER L D",
-    "word": "W ER D", "work": "W ER K", "were't": "W ER N T",
+    "word": "W ER D", "work": "W ER K", "weren't": "W ER N T",
     "hello": "HH AH L OW", "hey": "HH EY", "hi": "HH AY",
     "buddy": "B AH D IY", "computer": "K AH M P Y UW T ER",
     "google": "G UW G AH L", "alexa": "AH L EH K S AH", "siri": "S IH R IY",
@@ -62,7 +62,7 @@ _EXCEPTIONS: Dict[str, str] = {
     "between": "B IH T W IY N", "both": "B OW TH", "busy": "B IH Z IY",
     "buy": "B AY", "by": "B AY", "bye": "B AY", "eye": "AY", "i": "AY",
     "my": "M AY", "me": "M IY", "we": "W IY", "he": "HH IY", "she": "SH IY",
-    "here": "HH IY R", "hear": "HH IY R", "year": "Y IH R", "says't": "",
+    "here": "HH IY R", "hear": "HH IY R", "year": "Y IH R",
     "friendly": "F R EH N D L IY", "little": "L IH T AH L",
     "music": "M Y UW Z IH K", "turn": "T ER N", "start": "S T AA R T",
     "stop": "S T AA P", "play": "P L EY", "call": "K AO L",

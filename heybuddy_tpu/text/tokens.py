@@ -103,7 +103,7 @@ class PretrainedTokenizer:
         return not isinstance(self._backend, HashWordTokenizer)
 
     def __call__(self, text: str, length: Optional[int] = None) -> np.ndarray:
-        length = length or self.length
+        length = length if length is not None else self.length
         if isinstance(self._backend, HashWordTokenizer):
             ids = self._backend.encode(text)
         else:
