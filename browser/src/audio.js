@@ -81,18 +81,37 @@ export class AudioBatcher {
     this.filled = Math.min(this.filled + n, this.windowSamples);
     this.sinceEmit += n;
     if (this.sinceEmit >= this.intervalSamples && this.filled >= this.windowSamples) {
+      // `newest` is the FULL audio since the last emission (the interval,
+      // ~1920 samples) — not just the final 20 ms worklet frame. Consumers
+      // use it for VAD and recording capture; passing one frame gave them
+      // 1/6 of the stream (recordings came out gap-spliced).
+      const newest = this.ring.slice(
+        Math.max(this.windowSamples - this.sinceEmit, 0),
+      );
       this.sinceEmit = 0;
       if (this.onBatch) {
-        this.onBatch(this.ring.slice(), frame);
+        this.onBatch(this.ring.slice(), newest);
       }
     }
   }
 
+  reset() {
+    this.ring.fill(0);
+    this.filled = 0;
+    this.sinceEmit = 0;
+  }
+
   async start() {
+    this.reset();
     this.stream = await navigator.mediaDevices.getUserMedia({
       audio: { echoCancellation: true, noiseSuppression: true },
     });
     this.context = new AudioContext();
+    if (this.context.state === "suspended") {
+      // Outside a user gesture the context starts suspended and the worklet
+      // silently never runs.
+      await this.context.resume();
+    }
     const blob = new Blob([WORKLET_SOURCE], { type: "application/javascript" });
     const url = URL.createObjectURL(blob);
     await this.context.audioWorklet.addModule(url);
@@ -109,5 +128,8 @@ export class AudioBatcher {
     if (this.stream) this.stream.getTracks().forEach((track) => track.stop());
     if (this.context) await this.context.close();
     this.node = this.stream = this.context = null;
+    // Clear buffered audio so a later start() doesn't emit windows that are
+    // mostly the previous session's audio.
+    this.reset();
   }
 }

@@ -55,6 +55,15 @@ export class HeyBuddy {
     this.wakeWords = modelPaths.map(
       (path) => new WakeWord(path, { ...options, threshold: options.threshold ?? 0.5 }),
     );
+    // Colliding head names (same basename, or one options.name spread into
+    // every head) would overwrite each other's scores and run counters.
+    const seenNames = new Set();
+    for (const head of this.wakeWords) {
+      let name = head.name;
+      for (let k = 2; seenNames.has(name); k++) name = `${head.name}#${k}`;
+      head.name = name;
+      seenNames.add(name);
+    }
 
     this.threshold = options.threshold ?? 0.5;
     this.embeddingFrames = options.embeddingFrames ?? 16;
@@ -123,6 +132,16 @@ export class HeyBuddy {
   async stop() {
     this.listening = false;
     await this.batcher.stop();
+    // Reset per-session state so a later start() doesn't score (or record)
+    // leftovers from before the stop.
+    this.embeddingBuffer = [];
+    this._aboveThresholdRuns = {};
+    this._busy = false;
+    this._queued = null;
+    this.recording = false;
+    this.recordingChunks = [];
+    if (this.vad.reset) this.vad.reset();
+    else { this.vad.speaking = false; this.vad.silentFrames = 0; }
   }
 
   _enqueue(window, newest) {
@@ -130,14 +149,16 @@ export class HeyBuddy {
     // most recent batch.
     if (this._busy) { this._queued = [window, newest]; return; }
     this._busy = true;
-    this.process(window, newest).finally(() => {
-      this._busy = false;
-      if (this._queued) {
-        const [w, n] = this._queued;
-        this._queued = null;
-        this._enqueue(w, n);
-      }
-    });
+    this.process(window, newest)
+      .catch((err) => console.error("heybuddy frame failed", err))
+      .finally(() => {
+        this._busy = false;
+        if (this._queued) {
+          const [w, n] = this._queued;
+          this._queued = null;
+          this._enqueue(w, n);
+        }
+      });
   }
 
   /** One processing frame (reference loop semantics, hey-buddy.ts:382-469). */
@@ -202,8 +223,9 @@ export class HeyBuddy {
         scores[head.name] = probs[j];
         // Same semantics as the Python ConsecutiveGate (runtime/detection.py):
         // inclusive threshold, and the run resets after firing so a sustained
-        // activation needs a fresh run of N before it can re-fire.
-        if (probs[j] >= this.threshold) {
+        // activation needs a fresh run of N before it can re-fire. Each head
+        // gates on its own calibrated threshold.
+        if (probs[j] >= (head.threshold ?? this.threshold)) {
           const run = (this._aboveThresholdRuns[head.name] ?? 0) + 1;
           this._aboveThresholdRuns[head.name] = run;
           if (run >= this.consecutiveFrames) {

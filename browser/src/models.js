@@ -67,7 +67,13 @@ export class MelSpectrogram extends OnnxModel {
   async execute(audio) {
     if (audio.length !== this.numSamples) {
       const fixed = new Float32Array(this.numSamples);
-      fixed.set(audio.subarray(0, this.numSamples));
+      // Over-length windows keep the NEWEST samples (a larger batchSeconds
+      // otherwise scored ~1 s stale audio); short ones left-pad with silence.
+      if (audio.length > this.numSamples) {
+        fixed.set(audio.subarray(audio.length - this.numSamples));
+      } else {
+        fixed.set(audio, this.numSamples - audio.length);
+      }
       audio = fixed;
     }
     // The exported graph expects int16-range values.
@@ -193,6 +199,7 @@ export class SileroVAD extends OnnxModel {
     this.onSpeechEnd = null;
     this._v5 = null;
     this._state = null;
+    this._pending = new Float32Array(0);
   }
 
   async load() {
@@ -209,6 +216,7 @@ export class SileroVAD extends OnnxModel {
     this._state = this._v5 ? [zeros()] : [zeros(), zeros()];
     this.speaking = false;
     this.silentFrames = 0;
+    this._pending = new Float32Array(0);
   }
 
   /** Raw speech probability for one audio chunk (>= chunkSize samples). */
@@ -237,11 +245,29 @@ export class SileroVAD extends OnnxModel {
   }
 
   /**
-   * Update the speaking state from the newest frame (reference
+   * Update the speaking state from the newest interval audio (reference
    * hasSpeechAudio hysteresis, vad.ts:108-141); returns speaking.
+   *
+   * The stateful RNN expects CONTIGUOUS fixed-size chunks: the interval is
+   * accumulated and consumed in whole 512-sample chunks (remainder carried
+   * to the next call) — zero-padding each call's tail fed the state a
+   * discontinuous 37 %-zeroed stream and kept probabilities erratically low.
+   * One hysteresis step runs per interval on the max chunk probability.
    */
   async update(audio) {
-    const p = await this.probability(audio);
+    const merged = new Float32Array(this._pending.length + audio.length);
+    merged.set(this._pending);
+    merged.set(audio, this._pending.length);
+    let offset = 0;
+    let p = this.lastProbability;
+    let maxP = -1;
+    while (merged.length - offset >= this.chunkSize) {
+      p = await this.probability(merged.subarray(offset, offset + this.chunkSize));
+      maxP = Math.max(maxP, p);
+      offset += this.chunkSize;
+    }
+    this._pending = merged.slice(offset);
+    if (maxP >= 0) p = maxP;
     if (!this.speaking && p >= this.positiveThreshold) {
       this.speaking = true;
       this.silentFrames = 0;
