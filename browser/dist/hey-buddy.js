@@ -92,18 +92,37 @@ class AudioBatcher {
     this.filled = Math.min(this.filled + n, this.windowSamples);
     this.sinceEmit += n;
     if (this.sinceEmit >= this.intervalSamples && this.filled >= this.windowSamples) {
+      // `newest` is the FULL audio since the last emission (the interval,
+      // ~1920 samples) — not just the final 20 ms worklet frame. Consumers
+      // use it for VAD and recording capture; passing one frame gave them
+      // 1/6 of the stream (recordings came out gap-spliced).
+      const newest = this.ring.slice(
+        Math.max(this.windowSamples - this.sinceEmit, 0),
+      );
       this.sinceEmit = 0;
       if (this.onBatch) {
-        this.onBatch(this.ring.slice(), frame);
+        this.onBatch(this.ring.slice(), newest);
       }
     }
   }
 
+  reset() {
+    this.ring.fill(0);
+    this.filled = 0;
+    this.sinceEmit = 0;
+  }
+
   async start() {
+    this.reset();
     this.stream = await navigator.mediaDevices.getUserMedia({
       audio: { echoCancellation: true, noiseSuppression: true },
     });
     this.context = new AudioContext();
+    if (this.context.state === "suspended") {
+      // Outside a user gesture the context starts suspended and the worklet
+      // silently never runs.
+      await this.context.resume();
+    }
     const blob = new Blob([WORKLET_SOURCE], { type: "application/javascript" });
     const url = URL.createObjectURL(blob);
     await this.context.audioWorklet.addModule(url);
@@ -120,6 +139,9 @@ class AudioBatcher {
     if (this.stream) this.stream.getTracks().forEach((track) => track.stop());
     if (this.context) await this.context.close();
     this.node = this.stream = this.context = null;
+    // Clear buffered audio so a later start() doesn't emit windows that are
+    // mostly the previous session's audio.
+    this.reset();
   }
 }
 
@@ -193,7 +215,13 @@ class MelSpectrogram extends OnnxModel {
   async execute(audio) {
     if (audio.length !== this.numSamples) {
       const fixed = new Float32Array(this.numSamples);
-      fixed.set(audio.subarray(0, this.numSamples));
+      // Over-length windows keep the NEWEST samples (a larger batchSeconds
+      // otherwise scored ~1 s stale audio); short ones left-pad with silence.
+      if (audio.length > this.numSamples) {
+        fixed.set(audio.subarray(audio.length - this.numSamples));
+      } else {
+        fixed.set(audio, this.numSamples - audio.length);
+      }
       audio = fixed;
     }
     // The exported graph expects int16-range values.
@@ -319,6 +347,7 @@ class SileroVAD extends OnnxModel {
     this.onSpeechEnd = null;
     this._v5 = null;
     this._state = null;
+    this._pending = new Float32Array(0);
   }
 
   async load() {
@@ -335,6 +364,7 @@ class SileroVAD extends OnnxModel {
     this._state = this._v5 ? [zeros()] : [zeros(), zeros()];
     this.speaking = false;
     this.silentFrames = 0;
+    this._pending = new Float32Array(0);
   }
 
   /** Raw speech probability for one audio chunk (>= chunkSize samples). */
@@ -363,11 +393,29 @@ class SileroVAD extends OnnxModel {
   }
 
   /**
-   * Update the speaking state from the newest frame (reference
+   * Update the speaking state from the newest interval audio (reference
    * hasSpeechAudio hysteresis, vad.ts:108-141); returns speaking.
+   *
+   * The stateful RNN expects CONTIGUOUS fixed-size chunks: the interval is
+   * accumulated and consumed in whole 512-sample chunks (remainder carried
+   * to the next call) — zero-padding each call's tail fed the state a
+   * discontinuous 37 %-zeroed stream and kept probabilities erratically low.
+   * One hysteresis step runs per interval on the max chunk probability.
    */
   async update(audio) {
-    const p = await this.probability(audio);
+    const merged = new Float32Array(this._pending.length + audio.length);
+    merged.set(this._pending);
+    merged.set(audio, this._pending.length);
+    let offset = 0;
+    let p = this.lastProbability;
+    let maxP = -1;
+    while (merged.length - offset >= this.chunkSize) {
+      p = await this.probability(merged.subarray(offset, offset + this.chunkSize));
+      maxP = Math.max(maxP, p);
+      offset += this.chunkSize;
+    }
+    this._pending = merged.slice(offset);
+    if (maxP >= 0) p = maxP;
     if (!this.speaking && p >= this.positiveThreshold) {
       this.speaking = true;
       this.silentFrames = 0;
@@ -472,6 +520,15 @@ class HeyBuddy {
     this.wakeWords = modelPaths.map(
       (path) => new WakeWord(path, { ...options, threshold: options.threshold ?? 0.5 }),
     );
+    // Colliding head names (same basename, or one options.name spread into
+    // every head) would overwrite each other's scores and run counters.
+    const seenNames = new Set();
+    for (const head of this.wakeWords) {
+      let name = head.name;
+      for (let k = 2; seenNames.has(name); k++) name = `${head.name}#${k}`;
+      head.name = name;
+      seenNames.add(name);
+    }
 
     this.threshold = options.threshold ?? 0.5;
     this.embeddingFrames = options.embeddingFrames ?? 16;
@@ -540,6 +597,16 @@ class HeyBuddy {
   async stop() {
     this.listening = false;
     await this.batcher.stop();
+    // Reset per-session state so a later start() doesn't score (or record)
+    // leftovers from before the stop.
+    this.embeddingBuffer = [];
+    this._aboveThresholdRuns = {};
+    this._busy = false;
+    this._queued = null;
+    this.recording = false;
+    this.recordingChunks = [];
+    if (this.vad.reset) this.vad.reset();
+    else { this.vad.speaking = false; this.vad.silentFrames = 0; }
   }
 
   _enqueue(window, newest) {
@@ -547,14 +614,16 @@ class HeyBuddy {
     // most recent batch.
     if (this._busy) { this._queued = [window, newest]; return; }
     this._busy = true;
-    this.process(window, newest).finally(() => {
-      this._busy = false;
-      if (this._queued) {
-        const [w, n] = this._queued;
-        this._queued = null;
-        this._enqueue(w, n);
-      }
-    });
+    this.process(window, newest)
+      .catch((err) => console.error("heybuddy frame failed", err))
+      .finally(() => {
+        this._busy = false;
+        if (this._queued) {
+          const [w, n] = this._queued;
+          this._queued = null;
+          this._enqueue(w, n);
+        }
+      });
   }
 
   /** One processing frame (reference loop semantics, hey-buddy.ts:382-469). */
@@ -617,10 +686,17 @@ class HeyBuddy {
       const probs = await Promise.all(chunk.map((w) => w.execute(this.embeddingBuffer)));
       chunk.forEach((head, j) => {
         scores[head.name] = probs[j];
-        if (probs[j] > this.threshold) {
+        // Same semantics as the Python ConsecutiveGate (runtime/detection.py):
+        // inclusive threshold, and the run resets after firing so a sustained
+        // activation needs a fresh run of N before it can re-fire. Each head
+        // gates on its own calibrated threshold.
+        if (probs[j] >= (head.threshold ?? this.threshold)) {
           const run = (this._aboveThresholdRuns[head.name] ?? 0) + 1;
           this._aboveThresholdRuns[head.name] = run;
-          if (run >= this.consecutiveFrames) this._onDetection(head.name, probs[j]);
+          if (run >= this.consecutiveFrames) {
+            this._aboveThresholdRuns[head.name] = 0;
+            this._onDetection(head.name, probs[j]);
+          }
         } else {
           this._aboveThresholdRuns[head.name] = 0;
         }
