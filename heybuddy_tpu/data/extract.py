@@ -17,7 +17,8 @@ import numpy as np
 
 from heybuddy_tpu.constants import CLIP_SAMPLES, SAMPLE_RATE
 from heybuddy_tpu.text.tokens import BERTTokenizer
-from heybuddy_tpu.utils.audio_io import read_wav, resample_audio
+from heybuddy_tpu.utils.audio_io import resample_audio
+from heybuddy_tpu.utils.codecs import read_wav_any
 from heybuddy_tpu.utils.log import logger
 from heybuddy_tpu.utils.npy import AppendableNpyFile
 
@@ -57,7 +58,7 @@ def iter_hf_dataset(
 def iter_wav_files(paths: Iterable[str]) -> Iterator[Dict[str, Any]]:
     """Local-file source: .wav files, transcript from sidecar .txt if present."""
     for path in paths:
-        audio, rate = read_wav(path)
+        audio, rate = read_wav_any(path)
         transcript = ""
         sidecar = os.path.splitext(path)[0] + ".txt"
         if os.path.exists(sidecar):

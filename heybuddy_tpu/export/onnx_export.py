@@ -74,11 +74,30 @@ class _GraphBuilder:
         sig = self.op("Sigmoid", [x], "silu_sig")
         return self.op("Mul", [x, sig], "silu_out")
 
-    def mlp(self, x: str, params: Dict[str, Any], hint: str) -> str:
+    def activation(self, x: str, kind: str) -> str:
+        """Emit the model's configured activation — exporting SiLU for a
+        relu/gelu/tanh-trained model silently changes every score."""
+        if kind == "silu":
+            return self.silu(x)
+        if kind == "relu":
+            return self.op("Relu", [x], "relu_out")
+        if kind == "tanh":
+            return self.op("Tanh", [x], "tanh_out")
+        if kind == "gelu":
+            # exact (erf) gelu, matching jax.nn.gelu(approximate=False)
+            inv_sqrt2 = self.constant("gelu_is2", np.asarray(0.7071067811865476, np.float32))
+            erf = self.op("Erf", [self.op("Mul", [x, inv_sqrt2], "gelu_scaled")], "gelu_erf")
+            one = self.constant("gelu_one", np.asarray(1.0, np.float32))
+            half = self.constant("gelu_half", np.asarray(0.5, np.float32))
+            gate = self.op("Mul", [self.op("Add", [erf, one], "gelu_1p"), half], "gelu_gate")
+            return self.op("Mul", [x, gate], "gelu_out")
+        raise NotImplementedError(f"ONNX export for activation {kind!r}")
+
+    def mlp(self, x: str, params: Dict[str, Any], hint: str, activation: str = "silu") -> str:
         hidden = self.linear(
             x, np.asarray(params["hidden"]["w"]), np.asarray(params["hidden"]["b"]), f"{hint}_hidden"
         )
-        act = self.silu(hidden)
+        act = self.activation(hidden, activation)
         if "gate" in params:
             gate = self.linear(
                 x, np.asarray(params["gate"]["w"]), np.asarray(params["gate"]["b"]), f"{hint}_gate"
@@ -93,6 +112,7 @@ def build_mlp_graph(model: Any) -> OnnxGraph:
     """Build the ONNX graph for a WakeWordMLPModel."""
     params = model.params
     builder = _GraphBuilder()
+    activation = getattr(model, "activation", "silu")
 
     flat = builder.op(
         "Flatten", ["input"], "flatten", [OnnxAttribute("axis", 1, ATTR_INT)]
@@ -100,7 +120,7 @@ def build_mlp_graph(model: Any) -> OnnxGraph:
     normed = builder.layernorm(
         flat, np.asarray(params["norm_in"]["g"]), np.asarray(params["norm_in"]["b"])
     )
-    states = builder.mlp(normed, params["mlp_in"], "mlp_in")
+    states = builder.mlp(normed, params["mlp_in"], "mlp_in", activation)
 
     for i, (indices, half) in enumerate(zip(model.half_indices, params["half_layers"])):
         idx = builder.constant(f"half{i}_idx", np.asarray(indices, dtype=np.int64))
@@ -113,19 +133,19 @@ def build_mlp_graph(model: Any) -> OnnxGraph:
         half_norm = builder.layernorm(
             half_flat, np.asarray(half["norm"]["g"]), np.asarray(half["norm"]["b"])
         )
-        half_out = builder.mlp(half_norm, half["mlp"], f"half{i}")
+        half_out = builder.mlp(half_norm, half["mlp"], f"half{i}", activation)
         states = builder.op("Add", [states, half_out], f"half{i}_residual")
 
     for i, layer in enumerate(params["layers"]):
         normed = builder.layernorm(
             states, np.asarray(layer["norm"]["g"]), np.asarray(layer["norm"]["b"])
         )
-        states = builder.mlp(normed, layer["mlp"], f"layer{i}")
+        states = builder.mlp(normed, layer["mlp"], f"layer{i}", activation)
 
     normed = builder.layernorm(
         states, np.asarray(params["norm_out"]["g"]), np.asarray(params["norm_out"]["b"])
     )
-    logits = builder.mlp(normed, params["mlp_out"], "mlp_out")
+    logits = builder.mlp(normed, params["mlp_out"], "mlp_out", activation)
     builder.nodes.append(OnnxNode("Sigmoid", [logits], ["output"], name="output_sigmoid"))
 
     frames, dim = model.input_shape
@@ -138,8 +158,20 @@ def build_mlp_graph(model: Any) -> OnnxGraph:
     )
 
 
+def _check_opset(opset_version: int) -> None:
+    if opset_version < 18:
+        # The builder emits ReduceMean with axes as a runtime input (the
+        # opset>=18 form); stamping an older opset would produce a model
+        # that onnxruntime rejects at load.
+        raise ValueError(
+            f"opset_version {opset_version} not supported: the exporter emits "
+            "opset-18+ graphs (ReduceMean with axes input); use >= 18"
+        )
+
+
 def export_mlp_model(model: Any, path: str, opset_version: int = 19) -> None:
     """Write the classifier as ``.onnx`` (reference save_onnx contract)."""
+    _check_opset(opset_version)
     graph = build_mlp_graph(model)
     serialize_model(OnnxModel(graph, opset_version=opset_version), path)
 
@@ -160,6 +192,7 @@ def export_mel_spectrogram(
     Unlike the reference artifact, the log scaling is baked in (no client-side
     ``x/10 + 2`` rescale needed).
     """
+    _check_opset(opset_version)
     from heybuddy_tpu.constants import (
         MEL_BINS,
         MEL_HOP_LENGTH,
@@ -247,6 +280,7 @@ def export_embedding_net(
     embeddings.py:29-30). Input "input" float[batch, 76, 32] (dynamic batch of
     stacked windows like models/speech-embedding.ts), output [batch, 96].
     """
+    _check_opset(opset_version)
     from heybuddy_tpu.models import embedding_net
 
     if params is None:

@@ -19,7 +19,8 @@ import numpy as np
 
 from heybuddy_tpu.constants import SAMPLE_RATE
 from heybuddy_tpu.runtime.model_thread import WakeWordModelThread
-from heybuddy_tpu.utils.audio_io import read_wav, resample_audio
+from heybuddy_tpu.utils.audio_io import resample_audio
+from heybuddy_tpu.utils.codecs import read_wav_any
 from heybuddy_tpu.utils.log import logger
 
 __all__ = ["run_listen"]
@@ -54,7 +55,7 @@ def _mic_chunks(buffer_size: int) -> Iterator[np.ndarray]:
 
 
 def _wav_chunks(path: str, buffer_size: int, realtime: bool = False) -> Iterator[np.ndarray]:
-    audio, rate = read_wav(path)
+    audio, rate = read_wav_any(path)
     mono = audio.mean(axis=0)
     if rate != SAMPLE_RATE:
         mono = resample_audio(mono, rate, SAMPLE_RATE)

@@ -34,7 +34,8 @@ def read_wav(path_or_bytes: Union[str, bytes]) -> Tuple[np.ndarray, int]:
     """
     Read a WAV file (path or raw bytes) into float32 ``(channels, time)`` in [-1, 1].
 
-    Supports 8/16/24/32-bit integer PCM and 32-bit float PCM.
+    Supports 8/16/24/32-bit integer PCM (the stdlib wave module rejects
+    IEEE-float WAVs; use utils.codecs.read_wav_any for those).
     """
     if isinstance(path_or_bytes, bytes):
         fileobj: Any = io.BytesIO(path_or_bytes)
@@ -122,7 +123,16 @@ def _coerce_single(item: AudioLike, sample_rate: Optional[int]) -> Tuple[np.ndar
         from heybuddy_tpu.utils.codecs import read_wav_any
 
         return read_wav_any(item)
-    arr = np.asarray(item, dtype=np.float32)
+    raw = np.asarray(item)
+    arr = raw.astype(np.float32)
+    if raw.dtype.kind == "i":
+        # Integer PCM normalizes to [-1, 1] (reference audio_to_bct_tensor
+        # divides int16 by 32768); leaving raw int ranges would be amplified
+        # again by the featurizer's int16 rescale.
+        arr /= float(np.iinfo(raw.dtype).max) + 1.0
+    elif raw.dtype.kind == "u":
+        half = (float(np.iinfo(raw.dtype).max) + 1.0) / 2.0
+        arr = (arr - half) / half
     if arr.ndim == 1:
         arr = arr[np.newaxis, :]
     elif arr.ndim != 2:
@@ -170,6 +180,12 @@ def audio_to_bct_array(
             arr = resample_audio(arr, native_rate, sample_rate)
         elif final_rate is None:
             final_rate = native_rate
+        elif native_rate is not None and native_rate != final_rate:
+            # No target rate given and the batch mixes native rates: conform
+            # to the first item's rate (a single rate is returned for the
+            # whole batch, so leaving items unresampled silently distorts
+            # their duration/pitch downstream).
+            arr = resample_audio(arr, native_rate, final_rate)
         coerced.append(arr.astype(np.float32))
 
     max_channels = max(a.shape[0] for a in coerced)

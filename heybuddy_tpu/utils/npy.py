@@ -103,7 +103,7 @@ class AppendableNpyFile:
                 os.makedirs(parent, exist_ok=True)
             with open(self.path, "wb") as f:
                 f.write(header)
-                f.write(rows.tobytes())
+                rows.tofile(f)
             self._dtype = rows.dtype
             self._shape = rows.shape
             self._data_offset = len(header)
@@ -117,7 +117,7 @@ class AppendableNpyFile:
         new_shape = (self._shape[0] + rows.shape[0],) + self._shape[1:]
         with open(self.path, "r+b") as f:
             f.seek(0, os.SEEK_END)
-            f.write(rows.tobytes())
+            rows.tofile(f)
             self._rewrite_header(f, new_shape)
         self._shape = new_shape
 
