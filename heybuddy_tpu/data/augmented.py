@@ -239,8 +239,15 @@ class AugmentedAudioGenerator:
         arr = raw.astype(np.float32)
         if arr.size == 0:
             return arr
-        # Test the ORIGINAL dtype: after the float32 cast it is never int16.
-        if raw.dtype == np.int16 or np.abs(arr).max() > 4.0:
+        # Test the ORIGINAL dtype: after the float32 cast it is never integer.
+        if np.issubdtype(raw.dtype, np.integer):
+            info = np.iinfo(raw.dtype)
+            if info.min < 0:
+                arr = arr / float(-info.min)
+            else:  # unsigned (e.g. uint8 WAV): recenter around the midpoint
+                mid = (info.max + 1) / 2.0
+                arr = (arr - mid) / mid
+        elif np.abs(arr).max() > 4.0:
             arr = arr / 32768.0
         rate = int(audio.get("sampling_rate", self.sample_rate))
         if rate != self.sample_rate:

@@ -34,9 +34,9 @@ from heybuddy_tpu.utils.strings import safe_name
 __all__ = ["TrainingFeaturesGenerator"]
 
 # Disjoint seed-offset block per cache kind (train=0 / testing=1, partial=2/3,
-# clean-offset=4/5, negative-speech=6). Must exceed any realistic generated
-# cache size so `existing + written` can never cross into another kind's
-# block and reuse its TTS/augment seeds.
+# clean-offset=4/5, negative-speech=6, validation=7 / testing-validation=8).
+# Must exceed any realistic generated cache size so `existing + written` can
+# never cross into another kind's block and reuse its TTS/augment seeds.
 _SEED_NAMESPACE = 10_000_000
 
 
@@ -262,7 +262,14 @@ class TrainingFeaturesGenerator:
             # _SEED_NAMESPACE block so a training cache grown to any size can
             # never reuse the TTS/augment seeds of its held-out counterpart
             # (an additive +1000 was reachable by existing+written and leaked
-            # train rows into testing sets).
+            # train rows into testing sets). Validation caches get their OWN
+            # blocks (7/8): sharing block 1 with the augmented testing caches
+            # fed the trainer's negative-weight controller the same TTS
+            # renderings later reported as held-out testing metrics.
+            if validation:
+                block = 8 if testing else 7
+            else:
+                block = 1 if testing else 0
             written = 0
             batch_quota = DEFAULT_FEATURE_BATCH_SIZE
             while written < missing:
@@ -273,8 +280,7 @@ class TrainingFeaturesGenerator:
                     pad_only=validation,
                     store=store,
                     adversarial_phrases=adversarial_phrases,
-                    seed_offset=existing + written
-                    + (_SEED_NAMESPACE if testing else 0),
+                    seed_offset=existing + written + _SEED_NAMESPACE * block,
                 )
         else:
             logger.info(f"Using {num_samples} cached features for '{name}'")
@@ -518,7 +524,7 @@ class TrainingFeaturesGenerator:
         from heybuddy_tpu.constants import CLIP_SAMPLES
         from heybuddy_tpu.data.space import check_cache_space, write_space_sidecar
 
-        if os.path.exists(path) and not check_cache_space(path):
+        if os.path.exists(path) and (not self.use_cache or not check_cache_space(path)):
             os.remove(path)
         store = AppendableNpyFile(path)
         write_space_sidecar(path)

@@ -156,7 +156,9 @@ def operating_threshold(scores: np.ndarray, hours: float,
     for thr in grid:
         rate = count_detections(scores, float(thr), consecutive=consecutive)
         if rate / max(hours, 1e-9) <= target_per_hour:
-            return float(thr)
+            # np.arange grid values carry float noise (0.5700000000000003);
+            # round so results JSON records clean thresholds.
+            return float(round(thr, 4))
     return 1.0
 
 

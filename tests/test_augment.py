@@ -156,6 +156,33 @@ def test_augment_batch_edge_placement():
         assert 0.0 < e < full_energy
 
 
+def test_prepare_clip_normalizes_all_integer_dtypes():
+    """int16/int32/uint8 sources must all land in [-1, 1] (ADVICE r2 low:
+    only int16 was special-cased; int32 overflowed the >4.0 heuristic's
+    assumption and uint8 kept a huge DC offset)."""
+    from heybuddy_tpu.data.augmented import AugmentedAudioGenerator
+
+    gen = AugmentedAudioGenerator(iter([]), pad_only=True)
+    t = np.sin(2 * np.pi * 440 * np.arange(1600) / 16000)
+
+    def clip_for(arr):
+        return gen._prepare_clip(
+            {"audio": {"array": arr, "sampling_rate": 16000}}
+        )
+
+    f32 = clip_for((0.5 * t).astype(np.float32))
+    i16 = clip_for((0.5 * t * 32768).astype(np.int16))
+    i32 = clip_for((0.5 * t * 2147483648).astype(np.int32))
+    u8 = clip_for(((0.5 * t + 1.0) * 127.5).astype(np.uint8))
+    for out in (f32, i16, i32, u8):
+        assert np.abs(out).max() <= 1.0
+        np.testing.assert_allclose(np.abs(out).max(), 0.5, atol=0.02)
+    np.testing.assert_allclose(i32, f32, atol=1e-3)
+    np.testing.assert_allclose(i16, f32, atol=1e-3)
+    # uint8 is coarse but must be centered: mean ~0, not ~128
+    assert abs(np.mean(u8)) < 0.05
+
+
 def test_pitch_shift_rescales_lengths_and_fills_silence():
     """The resampling pitch shift changes effective duration: returned
     lengths must rescale by 1/ratio (stale lengths made placement wrap phrase
