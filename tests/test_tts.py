@@ -24,6 +24,42 @@ def test_formant_synthesizer_deterministic_and_distinct():
     assert len(a) > 4000
 
 
+def test_formant_articulation_cues():
+    """v2 articulation model: the cues wake-word discrimination hinges on
+    must be present and systematic (VERDICT r2 next #2)."""
+    synth = FormantSynthesizer()
+
+    # (1) minimal pair "buddy"/"bunny": intervocalic /d/ flaps (~30 ms weak
+    # tap) while /n/ is a long murmur -> "hey bunny" renders LONGER and the
+    # pair is systematically separable across speakers.
+    d_durs = [len(synth.synthesize("hey buddy", speaker=s, seed=7)) for s in range(4)]
+    n_durs = [len(synth.synthesize("hey bunny", speaker=s, seed=7)) for s in range(4)]
+    assert np.mean(n_durs) > np.mean(d_durs)
+
+    # (2) vowel intrinsic duration: low AA ("body") longer than AH ("buddy")
+    body = len(synth.synthesize("body", speaker=0, seed=7))
+    buddy = len(synth.synthesize("buddy", speaker=0, seed=7))
+    assert body > buddy
+
+    # (3) nasalization: "bunny" carries more low-frequency (murmur) energy
+    # relative to mid-frequency than "buddy" in the consonant region
+    def band_ratio(text):
+        audio = synth.synthesize(text, speaker=0, seed=7)
+        spec = np.abs(np.fft.rfft(audio))
+        freqs = np.fft.rfftfreq(len(audio), 1 / 16000)
+        low = spec[(freqs > 150) & (freqs < 450)].sum()
+        mid = spec[(freqs > 2000) & (freqs < 5000)].sum()
+        return low / (mid + 1e-9)
+
+    assert band_ratio("hey bunny") > band_ratio("hey buddy")
+
+    # (4) prosody: stressed first vowel -> utterance pitch declines; check
+    # audio is finite, bounded, and long enough to carry the phrase
+    a = synth.synthesize("hey buddy how are you", speaker=3)
+    assert np.isfinite(a).all() and np.abs(a).max() <= 1.0
+    assert len(a) / 16000 > 0.8
+
+
 def test_tts_call_contract():
     """Reference PiperTTSModel.__call__ contract: List[(text, int16 audio)]."""
     tts = FormantTTS(num_speakers=8)
