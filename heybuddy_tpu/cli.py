@@ -576,6 +576,15 @@ def convert(checkpoint: str, output: Optional[str], opset_version: int, debug: b
                    "clusters (base phrase + 3 near-collisions) so in-batch "
                    "negatives include the separations wake-word "
                    "discrimination needs.")
+@click.option("--focus-phrase", type=str, default=None,
+              help="Wake phrase to build a deep near-collision cluster for; "
+                   "it joins every batch and its rendered pairs are driven "
+                   "apart by the margin loss (per-deployment discriminative "
+                   "fine-tune of the embedding space).")
+@click.option("--hard-pair-margin", type=float, default=0.4, show_default=True,
+              help="Cosine-similarity ceiling for same-cluster rendered pairs.")
+@click.option("--hard-pair-weight", type=float, default=1.0, show_default=True,
+              help="Weight of the hard-pair margin loss vs NT-Xent.")
 @click.option("--seed", type=int, default=0, show_default=True)
 @click.option("--debug/--no-debug", default=False, is_flag=True)
 def pretrain_embedding(
@@ -588,6 +597,9 @@ def pretrain_embedding(
     temperature: float,
     tts_backend: Optional[str],
     adversarial_fraction: float,
+    focus_phrase: Optional[str],
+    hard_pair_margin: float,
+    hard_pair_weight: float,
     seed: int,
     debug: bool,
 ) -> None:
@@ -609,6 +621,9 @@ def pretrain_embedding(
             temperature=temperature,
             tts_backend=tts_backend,
             adversarial_fraction=adversarial_fraction,
+            focus_phrase=focus_phrase,
+            hard_pair_margin=hard_pair_margin,
+            hard_pair_weight=hard_pair_weight,
             seed=seed,
         )
         pretrainer.train(steps=steps)

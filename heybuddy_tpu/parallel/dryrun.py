@@ -116,6 +116,30 @@ def run(n_devices: int) -> None:
         f"[dryrun] production trainer over {n_devices}-device mesh OK "
         f"(train + padded eval + checkpoint), final loss={history['loss'][-1]:.5f}"
     )
+
+    # --- 3. contrastive embedding pretraining sharded over the mesh ---
+    # The heaviest real workload: HBM-resident clip pool sharded over the
+    # data axis, NT-Xent + hard-pair margin step jitted with mesh shardings.
+    os.environ.setdefault("HEYBUDDY_OFFLINE", "1")
+    from heybuddy_tpu.training.embedding_pretrain import EmbeddingPretrainer
+
+    n_texts = 4 * n_devices + 1  # NOT divisible: exercises pool padding
+    pretrainer = EmbeddingPretrainer(
+        texts=[f"dryrun text {i}" for i in range(n_texts)],
+        speakers_per_text=2,
+        batch_size=n_devices,
+        mesh=mesh,
+        seed=0,
+    )
+    # synthetic pool: TTS is host work, irrelevant to the sharding under test
+    pretrainer._pool = rng.normal(0, 0.1, (n_texts, 2, CLIP_SAMPLES)).astype(np.float32)
+    pretrainer._pool_lengths = np.full((n_texts, 2), CLIP_SAMPLES, dtype=np.int32)
+    pretrainer.train(steps=2, log_every=1)
+    emb_after = pretrainer.params
+    for leaf in jax.tree_util.tree_leaves(emb_after):
+        if not np.isfinite(np.asarray(leaf)).all():
+            raise RuntimeError("dryrun: non-finite embedding params after sharded pretrain")
+    print(f"[dryrun] sharded contrastive pretrain step over {n_devices} devices OK")
     print(f"dryrun_multichip({n_devices}): OK")
 
 

@@ -53,6 +53,27 @@ def nt_xent_loss(z1: jax.Array, z2: jax.Array, temperature: float = 0.1) -> jax.
     )
 
 
+def hard_pair_margin_loss(
+    z1: jax.Array, z2: jax.Array, pair_mask: jax.Array, margin: float = 0.4
+) -> jax.Array:
+    """Cosine-margin repulsion on rendered phonetic-neighbor pairs.
+
+    ``pair_mask`` is a (b, b) boolean: True where texts i and j are DIFFERENT
+    members of the same phonetic-neighbor cluster ("hey buddy" / "hey bunny").
+    Any view combination of such a pair must sit below ``margin`` cosine
+    similarity; NT-Xent alone only repels them with the same gentle force as
+    easy negatives, which round 2 measured as insufficient — the minimal pair
+    stayed inseparable at the production gate (VERDICT r2 weak #1).
+    """
+    z1 = z1 / (jnp.linalg.norm(z1, axis=-1, keepdims=True) + 1e-8)
+    z2 = z2 / (jnp.linalg.norm(z2, axis=-1, keepdims=True) + 1e-8)
+    z = jnp.concatenate([z1, z2], axis=0)  # (2b, d)
+    sims = z @ z.T
+    mask4 = jnp.tile(pair_mask, (2, 2))  # the pair repels in all 4 view quadrants
+    viol = jnp.where(mask4, jnp.maximum(sims - margin, 0.0), 0.0)
+    return jnp.sum(viol * viol) / jnp.maximum(jnp.sum(mask4), 1.0)
+
+
 class EmbeddingPretrainer:
     """Contrastive pre-training driver for the embedding network."""
 
@@ -70,12 +91,29 @@ class EmbeddingPretrainer:
         config: Optional[embedding_net.EmbeddingNetConfig] = None,
         init_weights: Optional[str] = None,
         adversarial_fraction: float = 0.0,
+        focus_phrase: Optional[str] = None,
+        hard_pair_margin: float = 0.4,
+        hard_pair_weight: float = 1.0,
+        cluster_slots_fraction: float = 0.25,
+        mesh: Optional[Any] = None,
     ) -> None:
-        self.texts = (
-            list(texts)
-            if texts is not None
-            else self._default_texts(num_texts, seed, adversarial_fraction)
-        )
+        if texts is not None:
+            self.texts = list(texts)
+            self.cluster_ids = np.full(len(self.texts), -1, dtype=np.int64)
+        else:
+            self.texts, self.cluster_ids = self._default_texts(
+                num_texts, seed, adversarial_fraction, focus_phrase
+            )
+        self.focus_phrase = focus_phrase
+        self.hard_pair_margin = hard_pair_margin
+        self.hard_pair_weight = hard_pair_weight
+        self.cluster_slots_fraction = cluster_slots_fraction
+        self.mesh = mesh
+        if mesh is not None and batch_size % mesh.shape["data"] != 0:
+            raise ValueError(
+                f"batch_size ({batch_size}) must divide evenly over the mesh "
+                f"data axis ({mesh.shape['data']} devices)"
+            )
         if batch_size > len(self.texts):
             # Fail before the expensive clip-pool synthesis: train()'s
             # replace=False text sampling would raise at step 0 otherwise.
@@ -110,17 +148,30 @@ class EmbeddingPretrainer:
 
     @staticmethod
     def _default_texts(
-        num_texts: int, seed: int, adversarial_fraction: float = 0.0
-    ) -> List[str]:
+        num_texts: int,
+        seed: int,
+        adversarial_fraction: float = 0.0,
+        focus_phrase: Optional[str] = None,
+    ) -> "tuple[List[str], np.ndarray]":
         """Random 1-3 word phrases from the bundled lexicon.
 
         ``adversarial_fraction > 0`` replaces that fraction of the pool with
         PHONETIC-NEIGHBOR CLUSTERS: a base phrase plus 3 near-collisions from
         the adversarial generator (text/adversarial.py). Random texts are
         phonetically easy in-batch negatives; clusters make NT-Xent separate
-        exactly the near-collisions wake-word discrimination hinges on
-        (cluster members co-occur in a batch by chance — ~12 same-cluster
-        pairs per 256-batch at 8k texts).
+        exactly the near-collisions wake-word discrimination hinges on.
+        Returns (texts, cluster_ids) — cluster_ids[i] >= 0 marks text i as a
+        member of that phonetic-neighbor cluster (-1 = random filler); the
+        batch sampler guarantees cluster co-occurrence and the margin loss
+        repels same-cluster rendered pairs (round 2 relied on chance
+        co-occurrence, ~12 pairs per 256-batch at 8k texts).
+
+        ``focus_phrase`` additionally builds cluster 0 — the wake phrase plus
+        a deep pool of its OWN near-collisions — which the sampler puts in
+        EVERY batch: a per-deployment discriminative fine-tune of the
+        embedding space around the phrase that matters (the TPU-native
+        substitute for the reference's frozen Google embedding earning its
+        keep on "hey bunny"-class separations, reference embeddings.py:29-30).
         """
         from heybuddy_tpu.text.wordlist import WORDS
 
@@ -130,9 +181,10 @@ class EmbeddingPretrainer:
         n_cluster_texts = int(num_texts * adversarial_fraction)
         n_clusters = n_cluster_texts // cluster_size
         texts: List[str] = []
+        cluster_of: List[int] = []
         seen: set = set()
 
-        def add(text: str) -> bool:
+        def add(text: str, cluster: int = -1) -> bool:
             # Deduplicate: duplicate phrases occupy distinct pool indices and
             # can land in one batch as NT-Xent NEGATIVES of each other —
             # pushing identical utterances apart fights the objective. At 8k
@@ -141,37 +193,51 @@ class EmbeddingPretrainer:
             if text and text not in seen:
                 seen.add(text)
                 texts.append(text)
+                cluster_of.append(cluster)
                 return True
             return False
 
-        def add_random(max_words: int = 3) -> None:
+        def add_random(max_words: int = 3, cluster: int = -1) -> None:
             for _ in range(100):
                 n = int(rng.integers(1, max_words + 1))
-                if add(" ".join(rng.choice(words, size=n, replace=False))):
+                if add(" ".join(rng.choice(words, size=n, replace=False)), cluster):
                     return
 
-        for _ in range(num_texts - n_clusters * cluster_size):
+        next_cluster = 0
+        if focus_phrase:
+            from heybuddy_tpu.text.adversarial import get_adversarial_text_generator
+
+            adv = get_adversarial_text_generator()
+            focus_size = 12  # phrase + deep near-collision pool
+            add(focus_phrase, cluster=0)
+            for neighbor in adv(focus_phrase, num_samples=focus_size - 1,
+                                seed=seed + 997):
+                add(neighbor, cluster=0)
+            next_cluster = 1
+
+        for _ in range(num_texts - n_clusters * cluster_size - len(texts)):
             add_random()
         if n_clusters > 0:
             from heybuddy_tpu.text.adversarial import get_adversarial_text_generator
 
             adv = get_adversarial_text_generator()
             for c in range(n_clusters):
+                cid = next_cluster + c
                 before = len(texts)
                 for _ in range(100):
                     n = int(rng.integers(1, 3))
                     base = " ".join(rng.choice(words, size=n, replace=False))
                     if base not in seen:
                         break
-                add(base)
+                add(base, cid)
                 for neighbor in adv(base, num_samples=cluster_size - 1, seed=seed + 31 * c):
-                    add(neighbor)
+                    add(neighbor, cid)
                 # Top up if the generator found fewer (or duplicate) neighbors.
                 for _ in range(4 * cluster_size):
                     if len(texts) >= before + cluster_size:
                         break
-                    add_random()
-        return texts
+                    add_random(cluster=cid)
+        return texts, np.asarray(cluster_of, dtype=np.int64)
 
     def build_clip_pool(self) -> None:
         """Synthesize speakers_per_text renderings of every text (host side).
@@ -250,8 +316,11 @@ class EmbeddingPretrainer:
         # the host sends only this step's INDICES (a few KB). Shipping gathered
         # clip batches per step (~47 MB) over the remote-device tunnel made the
         # step host-transfer-bound (~3 s); on-device gather removes it.
+        margin = self.hard_pair_margin
+        hard_weight = self.hard_pair_weight
+
         def step(params, opt_state, key, pool, pool_lengths, noise_bank, impulse_bank,
-                 text_idx, spk_idx, noise_idx, imp_idx):
+                 text_idx, spk_idx, noise_idx, imp_idx, pair_mask):
             k1, k2 = jax.random.split(key)
             clips1 = pool[text_idx, spk_idx[:, 0]]
             clips2 = pool[text_idx, spk_idx[:, 1]]
@@ -265,13 +334,73 @@ class EmbeddingPretrainer:
                 v2 = augment_batch(k2, clips2, lengths2, noise[1], impulse[1], aug_cfg)
                 z1 = clip_embedding(p, v1)
                 z2 = clip_embedding(p, v2)
-                return nt_xent_loss(z1, z2, temperature)
+                base = nt_xent_loss(z1, z2, temperature)
+                hard = hard_pair_margin_loss(z1, z2, pair_mask, margin)
+                return base + hard_weight * hard, (base, hard)
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+            (loss, (base, hard)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             updates, new_opt_state = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), new_opt_state, loss
+            return optax.apply_updates(params, updates), new_opt_state, loss, base, hard
 
-        return jax.jit(step, donate_argnums=(0, 1))
+        if self.mesh is None:
+            return jax.jit(step, donate_argnums=(0, 1))
+
+        # Mesh-sharded pretraining: the HBM-resident clip pool shards over
+        # the data axis (its texts dimension) so pool memory scales down
+        # per-chip, and the batch's gather/augment/embed work shards over
+        # the same axis; params/opt/banks replicate. XLA inserts the
+        # collectives for the cross-device pool gather and the (2b, 2b)
+        # NT-Xent similarity matrix.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(self.mesh, P())
+        pool_sh = NamedSharding(self.mesh, P("data"))
+        batch_sh = NamedSharding(self.mesh, P("data"))
+        batch2_sh = NamedSharding(self.mesh, P(None, "data"))
+        return jax.jit(
+            step,
+            donate_argnums=(0, 1),
+            in_shardings=(
+                repl, repl, repl, pool_sh, pool_sh, repl, repl,
+                batch_sh, batch_sh, batch2_sh, batch2_sh, batch_sh,
+            ),
+            out_shardings=(repl, repl, repl, repl, repl),
+        )
+
+    def _sample_batch(
+        self, cluster_members: Dict[int, np.ndarray], n_texts: int
+    ) -> np.ndarray:
+        """Batch indices with guaranteed phonetic-cluster co-occurrence.
+
+        A ``cluster_slots_fraction`` share of the batch is filled with WHOLE
+        clusters (so every margin pair actually lands in-batch); the focus
+        cluster (id 0, the wake phrase + its near-collisions) joins every
+        batch when present. The rest is uniform without replacement.
+        """
+        if not cluster_members or self.cluster_slots_fraction <= 0:
+            return self.rng.choice(n_texts, size=self.batch_size, replace=False)
+        chosen: List[np.ndarray] = []
+        if self.focus_phrase is not None and 0 in cluster_members:
+            chosen.append(cluster_members[0][: self.batch_size // 2])
+        other = [cid for cid in cluster_members if not (
+            self.focus_phrase is not None and cid == 0)]
+        budget = int(self.batch_size * self.cluster_slots_fraction)
+        used = 0
+        for cid in self.rng.permutation(other):
+            members = cluster_members[int(cid)]
+            if used + len(members) > budget:
+                continue  # a smaller cluster may still fit
+            chosen.append(members)
+            used += len(members)
+            if used >= budget:
+                break
+        taken = np.concatenate(chosen) if chosen else np.empty(0, np.int64)
+        remaining = self.batch_size - len(taken)
+        mask = np.ones(n_texts, dtype=bool)
+        mask[taken] = False
+        filler = self.rng.choice(np.flatnonzero(mask), size=remaining, replace=False)
+        batch = np.concatenate([taken, filler])
+        return self.rng.permutation(batch)
 
     def train(self, steps: int = 1000, log_every: int = 50) -> Dict[str, Any]:
         """Run contrastive training; returns the trained parameter pytree."""
@@ -290,31 +419,64 @@ class EmbeddingPretrainer:
         # Pre-built banks: per-step synthetic-noise generation would otherwise
         # dominate host time; sampling rows from fixed banks is free. The pool
         # and banks are transferred to HBM ONCE — steps send only indices.
-        noise_bank = jax.device_put(noise_provider.noise_batch(256))
-        impulse_bank = jax.device_put(noise_provider.impulse_batch(64))
-        pool = jax.device_put(self._pool)
-        pool_lengths = jax.device_put(self._pool_lengths)
+        pool_np, pool_lengths_np = self._pool, self._pool_lengths
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_dev = self.mesh.shape["data"]
+            pad = (-len(pool_np)) % n_dev
+            if pad:
+                # zero rows so the text axis shards evenly; the sampler only
+                # ever gathers real text indices
+                pool_np = np.concatenate([pool_np, np.zeros_like(pool_np[:pad])])
+                pool_lengths_np = np.concatenate(
+                    [pool_lengths_np, np.ones_like(pool_lengths_np[:pad])]
+                )
+            repl = NamedSharding(self.mesh, P())
+            pool_sh = NamedSharding(self.mesh, P("data"))
+            noise_bank = jax.device_put(noise_provider.noise_batch(256), repl)
+            impulse_bank = jax.device_put(noise_provider.impulse_batch(64), repl)
+            pool = jax.device_put(pool_np, pool_sh)
+            pool_lengths = jax.device_put(pool_lengths_np, pool_sh)
+        else:
+            noise_bank = jax.device_put(noise_provider.noise_batch(256))
+            impulse_bank = jax.device_put(noise_provider.impulse_batch(64))
+            pool = jax.device_put(pool_np)
+            pool_lengths = jax.device_put(pool_lengths_np)
 
         n_texts, n_spk, _ = self._pool.shape
         params, opt_state = self.params, self.opt_state
         losses: List[float] = []
+        # cluster id -> member text indices, for guaranteed co-occurrence
+        cluster_members: Dict[int, np.ndarray] = {}
+        for cid in np.unique(self.cluster_ids):
+            if cid >= 0:
+                cluster_members[int(cid)] = np.flatnonzero(self.cluster_ids == cid)
         for step_idx in range(steps):
-            text_idx = self.rng.choice(n_texts, size=self.batch_size, replace=False)
+            text_idx = self._sample_batch(cluster_members, n_texts)
+            ids = self.cluster_ids[text_idx]
+            pair_mask = (ids[:, None] == ids[None, :]) & (ids[:, None] >= 0)
+            np.fill_diagonal(pair_mask, False)
             spk = np.stack(
                 [self.rng.choice(n_spk, size=2, replace=n_spk < 2) for _ in range(self.batch_size)]
             )
             noise_idx = self.rng.integers(0, 256, (2, self.batch_size))
             imp_idx = self.rng.integers(0, 64, (2, self.batch_size))
             key = jax.random.fold_in(jax.random.PRNGKey(self.seed + 13), step_idx)
-            params, opt_state, loss = self._step_fn(
+            params, opt_state, loss, base, hard = self._step_fn(
                 params, opt_state, key, pool, pool_lengths, noise_bank, impulse_bank,
                 text_idx.astype(np.int32), spk.astype(np.int32),
                 noise_idx.astype(np.int32), imp_idx.astype(np.int32),
+                pair_mask,
             )
             if step_idx % log_every == 0 or step_idx == steps - 1:
                 loss_val = float(np.asarray(loss))
                 losses.append(loss_val)
-                logger.info(f"pretrain step {step_idx}/{steps}: nt-xent loss {loss_val:.4f}")
+                logger.info(
+                    f"pretrain step {step_idx}/{steps}: loss {loss_val:.4f} "
+                    f"(nt-xent {float(np.asarray(base)):.4f}, "
+                    f"hard-pair {float(np.asarray(hard)):.4f})"
+                )
 
         self.params = jax.device_get(params)
         self.opt_state = opt_state
