@@ -43,7 +43,11 @@ import numpy as np
 from heybuddy_tpu.constants import SAMPLE_RATE
 from heybuddy_tpu.text.phonemizer import SimplePhonemizer
 
-__all__ = ["FormantSynthesizer"]
+__all__ = ["FormantSynthesizer", "FORMANT_VERSION"]
+
+# Bump when synthesis output changes: cached artifacts keyed on rendered
+# audio (e.g. quality-harness stream waveforms) use it to invalidate.
+FORMANT_VERSION = 2
 
 # (F1, F2, F3) vowel targets in Hz; diphthongs carry two targets.
 _VOWELS: Dict[str, Tuple[Tuple[float, float, float], ...]] = {

@@ -58,7 +58,16 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--layers", type=int, default=2, help="classifier MLP blocks")
     p.add_argument("--layer-dim", type=int, default=96, help="classifier hidden dim")
-    p.add_argument("--stream-minutes", type=float, default=60.0)
+    p.add_argument("--stream-minutes", type=float, default=60.0,
+                   help="length of EACH fp/hour stream")
+    p.add_argument("--stream-seeds", type=int, default=3,
+                   help="independent fp/hour streams (the metric has ~10x "
+                        "seed noise at 1 h; a bare single-stream point "
+                        "estimate is never reported alone)")
+    p.add_argument("--sliding-clips", type=int, default=20,
+                   help="renderings for the headline sliding-gate recall")
+    p.add_argument("--no-snr-buckets", action="store_true",
+                   help="skip the FRR-by-SNR/reverb breakdown")
     p.add_argument("--threshold", type=float, default=0.5)
     p.add_argument("--mine-rounds", type=int, default=2,
                    help="hard-negative mining rounds (stream -> harvest FPs -> retrain)")
@@ -99,18 +108,48 @@ def _pipeline_clips(text: str, n: int, seed: int):
     return clips
 
 
+_STREAM_CACHE_DIR: str = ""
+
+
+def _cached_stream(kind: str, minutes: float, seed: int, build) -> np.ndarray:
+    """Disk-cache rendered stream waveforms: host-side synthesis dominates
+    multi-hour fp/hour measurement, and the waveforms are embedding-agnostic
+    so they are reusable across configs/embeddings/rounds (VERDICT r2 #3).
+    Keyed on the formant version so synthesizer changes invalidate."""
+    from heybuddy_tpu.models.formant import FORMANT_VERSION
+
+    if not _STREAM_CACHE_DIR:
+        return build()
+    os.makedirs(_STREAM_CACHE_DIR, exist_ok=True)
+    path = os.path.join(
+        _STREAM_CACHE_DIR, f"{kind}-v{FORMANT_VERSION}-{minutes:g}m-{seed}.npy"
+    )
+    if os.path.exists(path):
+        return np.load(path)
+    stream = build()
+    np.save(path, stream.astype(np.float32))
+    return stream
+
+
 def synth_speech_stream(minutes: float, seed: int, exclude_phrase: str = ""):
     """Continuous ordinary speech (framework data/streams.py, formant TTS)."""
     from heybuddy_tpu.data.streams import synth_speech_stream as _synth
 
-    return _synth(minutes, seed, exclude_phrase=exclude_phrase, tts_backend="formant")
+    return _cached_stream(
+        f"speech-x{exclude_phrase.replace(' ', '-')}", minutes, seed,
+        lambda: _synth(minutes, seed, exclude_phrase=exclude_phrase,
+                       tts_backend="formant"),
+    )
 
 
 def synth_adversarial_stream(phrase: str, minutes: float, seed: int):
     """Continuous phonetic near-collisions (framework data/streams.py)."""
     from heybuddy_tpu.data.streams import synth_adversarial_stream as _synth
 
-    return _synth(phrase, minutes, seed, tts_backend="formant")
+    return _cached_stream(
+        f"adv-{phrase.replace(' ', '-')}", minutes, seed,
+        lambda: _synth(phrase, minutes, seed, tts_backend="formant"),
+    )
 
 
 def sliding_features_scores(model, stream: np.ndarray, batch: int = 1024,
@@ -143,18 +182,24 @@ def sliding_scores(model, stream: np.ndarray, batch: int = 1024) -> np.ndarray:
     return sliding_features_scores(model, stream, batch, with_features=False)[1]
 
 
-def operating_threshold(scores: np.ndarray, hours: float,
+def operating_threshold(score_runs, hours: float,
                         target_per_hour: float = 1.5,
                         consecutive: int = 1) -> float:
     """Smallest grid threshold whose debounced detection rate meets the
-    reference's operating target (constants.py:85, 1.5 false wakes/hour).
+    reference's operating target (constants.py:85, 1.5 false wakes/hour),
+    aggregated over ALL independent stream runs (``hours`` is their total).
     The grid extends into the sigmoid-saturated tail (0.995-0.9999): a
     well-separated model's positive scores sit above it."""
+    if isinstance(score_runs, np.ndarray):
+        score_runs = [score_runs]
     grid = np.concatenate(
         [np.arange(0.5, 1.0, 0.01), [0.995, 0.998, 0.999, 0.9995, 0.9999]]
     )
     for thr in grid:
-        rate = count_detections(scores, float(thr), consecutive=consecutive)
+        rate = sum(
+            count_detections(s, float(thr), consecutive=consecutive)
+            for s in score_runs
+        )
         if rate / max(hours, 1e-9) <= target_per_hour:
             # np.arange grid values carry float noise (0.5700000000000003);
             # round so results JSON records clean thresholds.
@@ -170,6 +215,56 @@ def count_detections(scores: np.ndarray, threshold: float, consecutive: int = 1,
 
     return _count(scores, threshold, consecutive=consecutive,
                   debounce_windows=debounce_windows)
+
+
+def frr_by_snr_buckets(model, phrase: str, seed: int, thr: float,
+                       n_clips: int = 48) -> dict:
+    """FRR on positives augmented at PINNED background-noise SNR buckets,
+    with and without reverb: the shipped sweeps park augmented-positive FRR
+    at 0.25-0.36 with the explanation "the misses are inaudible-SNR clips" —
+    this measures whether they actually concentrate in the low-SNR tail."""
+    import jax
+
+    from heybuddy_tpu.constants import CLIP_SAMPLES
+    from heybuddy_tpu.data.augmented import NoiseProvider
+    from heybuddy_tpu.models.featurizer import get_speech_embeddings
+    from heybuddy_tpu.ops.augment import AugmentConfig, augment_batch
+
+    clips = _pipeline_clips(phrase, n_clips, seed=seed + 901)
+    audio = np.zeros((len(clips), CLIP_SAMPLES), dtype=np.float32)
+    lengths = np.zeros((len(clips),), dtype=np.int32)
+    for i, c in enumerate(clips):
+        n = min(len(c), CLIP_SAMPLES)
+        audio[i, :n] = c[:n]
+        lengths[i] = n
+
+    provider = NoiseProvider(seed=seed, use_remote=True)
+    noise = provider.noise_batch(len(clips))
+    impulse = provider.impulse_batch(len(clips))
+    emb = get_speech_embeddings()
+
+    out = {}
+    buckets = [(-10, -5), (-5, 0), (0, 5), (5, 10), (10, 20)]
+    for reverb in (0.0, 1.0):
+        for lo, hi in buckets:
+            cfg = AugmentConfig(
+                background_noise_prob=1.0,
+                background_noise_min_snr_db=float(lo),
+                background_noise_max_snr_db=float(hi),
+                reverb_prob=reverb,
+                # isolate the SNR/reverb axes: no EQ/distortion/pitch draws
+                seven_band_prob=0.0, tanh_distortion_prob=0.0,
+                pitch_shift_prob=0.0, band_stop_prob=0.0,
+                colored_noise_prob=0.0, gain_prob=0.0,
+            )
+            key = jax.random.PRNGKey(seed + 7 * lo + int(reverb))
+            aug = np.asarray(
+                augment_batch(key, audio, lengths, noise, impulse, cfg)
+            )
+            scores = np.asarray(model(np.asarray(emb(aug), np.float32))).reshape(-1)
+            tag = f"snr[{lo},{hi})dB" + ("+reverb" if reverb else "")
+            out[tag] = round(float(np.mean(scores < thr)), 3)
+    return out
 
 
 def main() -> None:
@@ -203,7 +298,20 @@ def main() -> None:
         args.val_stream_samples = 24
         args.steps = 40
         args.stream_minutes = min(args.stream_minutes, 1.0)
+        args.stream_seeds = min(args.stream_seeds, 2)
+        args.sliding_clips = min(args.sliding_clips, 6)
+        args.no_snr_buckets = True
         args.mine_rounds = min(args.mine_rounds, 1)
+
+    # Rendered streams are embedding-agnostic waveforms: cache them in the
+    # shared cache so multi-hour fp/hour costs synthesis once per seed ever.
+    global _STREAM_CACHE_DIR
+    try:
+        from heybuddy_tpu.utils.downloads import get_cache_dir
+
+        _STREAM_CACHE_DIR = get_cache_dir("quality-streams")
+    except Exception:
+        _STREAM_CACHE_DIR = ""
 
     dataset_dir = args.dataset_dir or tempfile.mkdtemp(prefix="quality-eval-")
     ckpt_dir = args.checkpoint_dir or os.path.join(dataset_dir, "ckpt")
@@ -436,23 +544,53 @@ def main() -> None:
     )
     logger.info(f"score stats: {score_stats}")
 
-    logger.info(f"=== streaming fp/hour over {args.stream_minutes:.0f} min ===")
-    stream = synth_speech_stream(
-        args.stream_minutes, seed=args.seed + 31, exclude_phrase=args.phrase
+    # Multi-seed streaming: one hour has ~10x seed noise in fp/hour (the same
+    # config measured 1.0 and 10.0/hr across seeds in round 2), so the
+    # harness always measures >= args.stream_seeds independent streams and
+    # reports the per-run spread alongside the aggregate — never a bare
+    # single-stream point estimate.
+    n_runs = max(args.stream_seeds, 1)
+    run_hours = args.stream_minutes / 60.0
+    hours = n_runs * run_hours
+    logger.info(
+        f"=== streaming fp/hour: {n_runs} x {args.stream_minutes:.0f} min "
+        f"({hours:.1f} h total) ==="
     )
-    scores = sliding_scores(model, stream)
-    detections = count_detections(scores, thr)
-    hours = args.stream_minutes / 60.0
-    fp_per_hour = detections / hours if hours > 0 else float("nan")
-    logger.info(f"stream: {detections} detections in {hours:.2f} h -> {fp_per_hour:.2f}/hr")
+    score_runs = []
+    fp_runs = []
+    fp_runs_c2 = []
+    for k in range(n_runs):
+        stream = synth_speech_stream(
+            args.stream_minutes, seed=args.seed + 31 + 1009 * k,
+            exclude_phrase=args.phrase,
+        )
+        s = sliding_scores(model, stream)
+        score_runs.append(s)
+        d = count_detections(s, thr)
+        d2 = count_detections(s, thr, consecutive=2)
+        fp_runs.append(d / max(run_hours, 1e-9))
+        fp_runs_c2.append(d2 / max(run_hours, 1e-9))
+        logger.info(
+            f"  stream {k + 1}/{n_runs}: {d} raw / {d2} gated detections "
+            f"({fp_runs[-1]:.1f} / {fp_runs_c2[-1]:.1f} per hr)"
+        )
+    detections = int(round(sum(fp_runs) * run_hours))
+    fp_per_hour = float(np.mean(fp_runs))
+    logger.info(
+        f"stream aggregate: {fp_per_hour:.2f}/hr raw over {hours:.2f} h "
+        f"(per-run {['%.1f' % v for v in fp_runs]})"
+    )
 
     # Operating point: the threshold meeting the reference's 1.5 false
-    # wakes/hour target on this stream, and the recall cost of running there.
-    op_thr = operating_threshold(scores, hours)
+    # wakes/hour target aggregated over all streams, and the recall cost of
+    # running there.
+    op_thr = operating_threshold(score_runs, hours)
     op_frr = float(np.mean(pos_scores < op_thr))
     op_frr_clean = float(np.mean(clean_scores < op_thr))
     op_frr_clean_offset = float(np.mean(clean_offset_scores < op_thr))
-    op_fp_per_hour = count_detections(scores, op_thr) / max(hours, 1e-9)
+    op_fp_per_hour = sum(
+        count_detections(s, op_thr) for s in score_runs
+    ) / max(hours, 1e-9)
     logger.info(
         f"operating point: thr={op_thr} -> {op_fp_per_hour:.2f} fp/hr, "
         f"FRR={op_frr:.4f} (clean {op_frr_clean:.4f})"
@@ -462,8 +600,8 @@ def main() -> None:
     # single-window spikes while a true utterance holds the phrase inside the
     # window for several strides, so requiring 2 consecutive windows cuts
     # fp/hr at little recall cost and buys a far gentler operating threshold.
-    fp_per_hour_c2 = count_detections(scores, thr, consecutive=2) / max(hours, 1e-9)
-    op_thr_c2 = operating_threshold(scores, hours, consecutive=2)
+    fp_per_hour_c2 = float(np.mean(fp_runs_c2))
+    op_thr_c2 = operating_threshold(score_runs, hours, consecutive=2)
     op_frr_c2 = float(np.mean(pos_scores < op_thr_c2))
     op_frr_clean_c2 = float(np.mean(clean_scores < op_thr_c2))
     op_frr_clean_offset_c2 = float(np.mean(clean_offset_scores < op_thr_c2))
@@ -477,9 +615,13 @@ def main() -> None:
     sliding = {}
     sliding_c2 = {}
     for text in [args.phrase] + ADVERSARIAL_SLIDING_PHRASES:
+        # The wake phrase's gated fire rate IS the product's recall (the
+        # deployed runtime lives at the 2-consecutive gate), so it gets a
+        # larger rendering sample than the adversarial probes.
+        n_clips = args.sliding_clips if text == args.phrase else 6
         maxima = []
         fired_c2 = []
-        for clip in _pipeline_clips(text, 6, seed=args.seed + 5):
+        for clip in _pipeline_clips(text, n_clips, seed=args.seed + 5):
             ctx = np.zeros(2 * 16000 + len(clip), dtype=np.float32)
             off = int(rng.integers(0, 2 * 16000))
             ctx[off : off + len(clip)] = clip
@@ -492,6 +634,30 @@ def main() -> None:
             f"  {text!r}: mean max score {sliding[text]}, "
             f"consecutive=2 fire rate {sliding_c2[text]}"
         )
+    sliding_recall_c2 = sliding_c2[args.phrase]
+
+    # HEADLINE: every target at the production operating point, together.
+    targets_met = {
+        "sliding_recall_c2>=0.95": sliding_recall_c2 >= 0.95,
+        "far_adversarial<=0.05": far_adv <= 0.05,
+        "frr_clean<=0.05": frr_clean <= 0.05,
+        "frr_clean_offset<=0.05": frr_clean_offset <= 0.05,
+        "fp_per_hour_c2<=1.5": fp_per_hour_c2 <= 1.5,
+    }
+    logger.info(
+        f"HEADLINE sliding-gate recall (c2) = {sliding_recall_c2} over "
+        f"{args.sliding_clips} renderings; targets: "
+        + ", ".join(f"{k}={'PASS' if v else 'FAIL'}" for k, v in targets_met.items())
+    )
+
+    # FRR by SNR/reverb bucket: locates the augmented-positive miss tail
+    # (inaudible clips vs fixable mid-SNR misses, VERDICT r2 weak #8).
+    frr_by_snr = {}
+    if not args.no_snr_buckets:
+        logger.info("=== FRR by SNR / reverb bucket ===")
+        frr_by_snr = frr_by_snr_buckets(model, args.phrase, args.seed, thr)
+        for k, v in frr_by_snr.items():
+            logger.info(f"  {k}: FRR {v}")
 
     results = {
         "phrase": args.phrase,
@@ -508,8 +674,12 @@ def main() -> None:
         "far_adversarial": round(far_adv, 4),
         "far_speech": round(far_speech, 4),
         "stream_minutes": args.stream_minutes,
+        "stream_seeds": n_runs,
+        "stream_hours_total": round(hours, 2),
         "stream_detections": detections,
         "fp_per_hour": round(fp_per_hour, 3),
+        "fp_per_hour_runs": [round(v, 2) for v in fp_runs],
+        "fp_per_hour_runs_consecutive2": [round(v, 2) for v in fp_runs_c2],
         "mine_rounds": args.mine_rounds,
         "mined_negatives": int(sum(len(m) for m in mined)),
         "operating_threshold": op_thr,
@@ -527,6 +697,11 @@ def main() -> None:
         "clean_offset_stats": stats(clean_offset_scores),
         "sliding_max_scores": sliding,
         "sliding_consecutive2_fire_rate": sliding_c2,
+        "sliding_recall_c2": sliding_recall_c2,
+        "sliding_clips": args.sliding_clips,
+        "targets_met": targets_met,
+        "all_targets_met": all(targets_met.values()),
+        "frr_by_snr": frr_by_snr,
         "checkpoint": final,
         "wall_s": round(time.time() - t0, 1),
     }
