@@ -78,6 +78,20 @@ _EXCEPTIONS: Dict[str, str] = {
     "measure": "M EH ZH ER", "pleasure": "P L EH ZH ER",
     "television": "T EH L AH V IH ZH AH N", "vision": "V IH ZH AH N",
     "version": "V ER ZH AH N", "decision": "D IH S IH ZH AH N",
+    "shoe": "SH UW", "shoes": "SH UW Z", "orange": "AO R AH N JH",
+    "iron": "AY ER N", "island": "AY L AH N D", "hour": "AW ER",
+    "honest": "AA N AH S T", "heart": "HH AA R T", "early": "ER L IY",
+    "earth": "ER TH", "learn": "L ER N", "head": "HH EH D",
+    "bread": "B R EH D", "dead": "D EH D", "ready": "R EH D IY",
+    "heavy": "HH EH V IY", "great": "G R EY T", "break": "B R EY K",
+    "steak": "S T EY K", "friend": "F R EH N D", "blood": "B L AH D",
+    "flood": "F L AH D", "among": "AH M AH NG", "money": "M AH N IY",
+    "monkey": "M AH NG K IY", "month": "M AH N TH", "front": "F R AH N T",
+    "son": "S AH N", "ton": "T AH N", "won": "W AH N", "warm": "W AO R M",
+    "war": "W AO R", "want": "W AA N T", "watch": "W AA CH",
+    "wash": "W AA SH", "father": "F AA DH ER", "other": "AH DH ER",
+    "another": "AH N AH DH ER", "nothing": "N AH TH IH NG",
+    "something": "S AH M TH IH NG", "doctor": "D AA K T ER",
 }
 
 # Ordered rewrite rules: (pattern, phones). Longest patterns first. ``|`` marks
@@ -85,16 +99,28 @@ _EXCEPTIONS: Dict[str, str] = {
 _DIGRAPH_RULES: List = [
     ("tion", "SH AH N"), ("sion", "ZH AH N"), ("ture", "CH ER"),
     ("ought", "AO T"), ("aught", "AO T"), ("eigh", "EY"), ("igh", "AY"),
+    ("ther$", "DH ER"),  # mother, brother, father: intervocalic th voices
     ("tch", "CH"), ("dge", "JH"), ("sch", "S K"), ("ck", "K"),
+    ("ook", "UH K"),     # look, book, cook: oo shortens before k
+    ("all$", "AO L"), ("ong$", "AO NG"), ("old", "OW L D"),
+    ("air", "EH R"), ("oor", "AO R"), ("our$", "AO R"), ("eese", "IY Z"),
+    ("ees$", "IY Z"),    # cheese after magic-e drop
+    ("og$", "AO G"), ("ind$", "AY N D"), ("ower$", "AW ER"),
     ("ch", "CH"), ("sh", "SH"), ("th", "TH"), ("ph", "F"), ("wh", "W"),
-    ("gh", "G"), ("ng", "NG"), ("qu", "K W"), ("wr", "R"), ("kn", "N"),
+    ("gh", "G"), ("nk", "NG K"), ("ng", "NG"), ("qu", "K W"),
+    ("wr", "R"), ("kn", "N"),
     ("gn", "N"), ("mb$", "M"), ("oo", "UW"), ("ee", "IY"), ("ea", "IY"),
     ("ai", "EY"), ("ay", "EY"), ("ey", "EY"), ("oa", "OW"), ("ow", "OW"),
     ("ou", "AW"), ("oy", "OY"), ("oi", "OY"), ("au", "AO"), ("aw", "AO"),
     ("ew", "UW"), ("ue", "UW"), ("ui", "UW"), ("ie", "IY"),
     ("ar", "AA R"), ("er", "ER"), ("ir", "ER"), ("ur", "ER"), ("or", "AO R"),
+    # consonant + final le: syllabic l (bottle, little, table — NOT smile)
+    ("ble$", "B AH L"), ("cle$", "K AH L"), ("dle$", "D AH L"),
+    ("fle$", "F AH L"), ("gle$", "G AH L"), ("kle$", "K AH L"),
+    ("ple$", "P AH L"), ("sle$", "S AH L"), ("tle$", "T AH L"),
+    ("zle$", "Z AH L"),
     ("ce", "S"), ("ci", "S IH"), ("cy", "S IY"),
-    ("ge$", "JH"), ("gi", "JH IH"), ("gy", "JH IY"),
+    ("ge$", "JH"), ("gy", "JH IY"),
 ]
 
 _SINGLE_RULES: Dict[str, str] = {
@@ -120,12 +146,25 @@ def _g2p_word(word: str) -> List[str]:
         return _EXCEPTIONS[word].split()
 
     # silent final e: "make" -> long vowel handled crudely by the vowel rules;
-    # drop the e itself when the word is long enough.
+    # drop the e itself when the word is long enough. Keep it in
+    # consonant+le words ("bottle": the Cle$ rules own the syllabic l, while
+    # "smile" still takes the magic e) and remember soft c/g ("dance",
+    # "large": the dropped e softened the consonant).
     working = word
     magic_e = False
-    if len(working) > 3 and working.endswith("e") and working[-2] not in "aeiou":
+    soft_final = ""
+    if (
+        len(working) > 3
+        and working.endswith("e")
+        and working[-2] not in "aeiou"
+        and not re.search(r"[^aeiou]le$", working)
+    ):
         working = working[:-1]
         magic_e = True
+        if working.endswith("c"):
+            working, soft_final = working[:-1], "S"
+        elif working.endswith("g"):
+            working, soft_final = working[:-1], "JH"
 
     phones: List[str] = []
     i = 0
@@ -148,16 +187,24 @@ def _g2p_word(word: str) -> List[str]:
         if i + 1 < len(working) and working[i + 1] == ch and ch not in "aeiou":
             i += 1
             continue
-        # final y acts as a vowel
+        # final y acts as a vowel: AY in monosyllables with no other vowel
+        # letter ("sky", "try", "my"); IY otherwise ("buddy", "happy")
         if ch == "y" and i == len(working) - 1:
-            phones.append("IY" if len(working) > 2 else "AY")
+            has_other_vowel = any(c in "aeiou" for c in working[:-1])
+            phones.append("IY" if has_other_vowel and len(working) > 2 else "AY")
             i += 1
             continue
         phones.extend(_SINGLE_RULES.get(ch, "").split())
         i += 1
 
-    # magic e lengthens the last short vowel: AE->EY, IH->AY, AA->OW, EH->IY, AH->UW
-    if magic_e:
+    if soft_final:
+        phones.append(soft_final)
+
+    # magic e lengthens the last short vowel (AE->EY, IH->AY, AA->OW,
+    # EH->IY, AH->UW) — but only across a SINGLE consonant ("make", "nice");
+    # with a cluster before the e ("dance", "prince") the e only marks the
+    # soft consonant and the vowel stays short.
+    if magic_e and re.search(r"[aeiouy][^aeiouy]e$", word):
         lengthen = {"AE": "EY", "IH": "AY", "AA": "OW", "EH": "IY", "AH": "UW"}
         for j in range(len(phones) - 1, -1, -1):
             if phones[j] in lengthen:

@@ -148,3 +148,24 @@ def test_adversarial_generator_terminates_without_candidates():
     gen = AdversarialTextGenerator()
     out = list(gen("wednesday", num_samples=3, seed=0))
     assert out == [] or all(t != "wednesday" for t in out)
+
+
+def test_rule_g2p_accuracy_floor():
+    """Rule-G2P word accuracy on the curated golden lexicon must not regress
+    (measured 0.90 word / 0.030 PER in round 3; scripts/g2p_accuracy.py)."""
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts", "g2p_accuracy.py",
+    )
+    spec = importlib.util.spec_from_file_location("g2p_accuracy", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from heybuddy_tpu.text.phonemizer import _g2p_word
+
+    result = mod.score(sorted(mod.GOLDEN.items()), _g2p_word)
+    assert result["word_accuracy"] >= 0.85, result["worst"][:10]
+    assert result["phone_error_rate"] <= 0.05, result["worst"][:10]
