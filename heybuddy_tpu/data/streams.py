@@ -27,7 +27,7 @@ clips only and relies on its hosted real-speech negative sets.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -54,7 +54,7 @@ def texts_to_stream(
     tts_backend: Optional[str] = None,
     snr_db_range: tuple = (20.0, 30.0),
     return_schedule: bool = False,
-):
+) -> Union[np.ndarray, Tuple[np.ndarray, List[dict]]]:
     """Render a weighted text list as one continuous float32 stream in
     [-1, 1]: phrases with random gain, inter-phrase gaps of 0.15-1.2 s, and
     light white background noise at a random SNR.
@@ -102,7 +102,7 @@ def synth_speech_stream(
     num_texts: int = 256,
     tts_backend: Optional[str] = None,
     return_schedule: bool = False,
-):
+) -> Union[np.ndarray, Tuple[np.ndarray, List[dict]]]:
     """Continuous ordinary speech: pipeline-rendered random phrases (words of
     ``exclude_phrase`` removed from the vocabulary) with gaps plus noise.
 

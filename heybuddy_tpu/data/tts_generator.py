@@ -74,7 +74,7 @@ class SpeechSampleGenerator:
         self._model = None
 
     @property
-    def model(self):
+    def model(self) -> Any:
         if self._model is None:
             from heybuddy_tpu.models.tts import get_tts_model
 

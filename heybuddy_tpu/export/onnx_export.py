@@ -46,7 +46,8 @@ class _GraphBuilder:
         self.initializers.append(OnnxTensor(name, np.ascontiguousarray(array)))
         return name
 
-    def op(self, op_type: str, inputs: List[str], hint: str, attributes=None) -> str:
+    def op(self, op_type: str, inputs: List[str], hint: str,
+           attributes: Optional[List[OnnxAttribute]] = None) -> str:
         out = self.fresh(hint)
         self.nodes.append(
             OnnxNode(op_type, inputs, [out], name=out, attributes=attributes or [])

@@ -29,11 +29,11 @@ class Static:
     def __init__(self, value: Any) -> None:
         self.value = value
 
-    def tree_flatten(self):
+    def tree_flatten(self) -> Tuple[tuple, Any]:
         return (), self.value
 
     @classmethod
-    def tree_unflatten(cls, aux, _children):
+    def tree_unflatten(cls, aux: Any, _children: tuple) -> "Static":
         return cls(aux)
 
     def __int__(self) -> int:

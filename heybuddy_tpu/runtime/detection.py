@@ -65,7 +65,7 @@ class ConsecutiveGate:
 
 
 def count_detections(
-    scores,
+    scores: "np.ndarray",
     threshold: float,
     consecutive: int = 1,
     debounce_windows: int = 16,

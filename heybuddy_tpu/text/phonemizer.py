@@ -267,7 +267,7 @@ class SimplePhonemizer:
 _GLOBAL_PHONEMIZER = None
 
 
-def get_phonemizer(**_compat_kwargs):
+def get_phonemizer(**_compat_kwargs: object) -> "SimplePhonemizer":
     """
     Shared phonemizer instance (reference phonemizer.py:164-175). Prefers the
     espeak-ng binding when libespeak-ng is installed (espeak-grade accuracy,

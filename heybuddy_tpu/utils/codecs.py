@@ -50,7 +50,7 @@ def ffmpeg_available() -> bool:
 # --------------------------------------------------------------------- WAV --
 
 
-def read_wav_any(path_or_bytes) -> Tuple[np.ndarray, int]:
+def read_wav_any(path_or_bytes: Union[str, bytes]) -> Tuple[np.ndarray, int]:
     """
     Read PCM *or* IEEE-float WAV into float32 (channels, time) in [-1, 1].
 
@@ -106,7 +106,7 @@ def read_wav_any(path_or_bytes) -> Tuple[np.ndarray, int]:
 
 
 def decode_audio(
-    path_or_bytes,
+    path_or_bytes: Union[str, bytes],
     sample_rate: Optional[int] = None,
     extension: Optional[str] = None,
 ) -> Tuple[np.ndarray, int]:
