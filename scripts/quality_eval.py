@@ -73,6 +73,10 @@ def parse_args() -> argparse.Namespace:
                    help="hard-negative mining rounds (stream -> harvest FPs -> retrain)")
     p.add_argument("--mine-floor", type=float, default=0.2,
                    help="mine windows scoring at or above this")
+    p.add_argument("--eval-only", default=None, metavar="CKPT",
+                   help="skip training/mining and re-score this checkpoint "
+                        "(.npz); with a warm --dataset-dir and cached streams "
+                        "this re-measures a config in minutes")
     return p.parse_args()
 
 
@@ -324,38 +328,39 @@ def main() -> None:
     )
     gen = TrainingFeaturesGenerator(args.phrase, **gen_kwargs)
 
-    logger.info("=== generating training features ===")
-    pos_train = gen.get_training_features(args.train_samples, adversarial=False)
-    adv_train = gen.get_training_features(
-        args.train_samples, adversarial=True, adversarial_phrases=60
-    )
-    partial_train = (
-        gen.get_partial_phrase_features(args.partial_samples)
-        if args.partial_samples > 0
-        else None
-    )
-    partial_adv_train = (
-        gen.get_partial_phrase_features(
-            args.partial_samples, adversarial=True, adversarial_phrases=60
+    if not args.eval_only:
+        logger.info("=== generating training features ===")
+        pos_train = gen.get_training_features(args.train_samples, adversarial=False)
+        adv_train = gen.get_training_features(
+            args.train_samples, adversarial=True, adversarial_phrases=60
         )
-        if args.partial_samples > 0
-        else None
-    )
-    speech_train = gen.get_negative_speech_features(
-        args.train_samples, num_texts=400, seed=args.seed
-    )
-    stream_train = (
-        gen.get_stream_window_features(args.stream_samples, seed=args.seed)
-        if args.stream_samples > 0
-        else None
-    )
-    stream_adv_train = (
-        gen.get_stream_window_features(
-            max(args.stream_samples // 2, 1), adversarial=True, seed=args.seed
+        partial_train = (
+            gen.get_partial_phrase_features(args.partial_samples)
+            if args.partial_samples > 0
+            else None
         )
-        if args.stream_samples > 0
-        else None
-    )
+        partial_adv_train = (
+            gen.get_partial_phrase_features(
+                args.partial_samples, adversarial=True, adversarial_phrases=60
+            )
+            if args.partial_samples > 0
+            else None
+        )
+        speech_train = gen.get_negative_speech_features(
+            args.train_samples, num_texts=400, seed=args.seed
+        )
+        stream_train = (
+            gen.get_stream_window_features(args.stream_samples, seed=args.seed)
+            if args.stream_samples > 0
+            else None
+        )
+        stream_adv_train = (
+            gen.get_stream_window_features(
+                max(args.stream_samples // 2, 1), adversarial=True, seed=args.seed
+            )
+            if args.stream_samples > 0
+            else None
+        )
 
     logger.info("=== generating held-out features ===")
     pos_test = gen.get_training_features(args.heldout_samples, adversarial=False, testing=True)
@@ -365,28 +370,29 @@ def main() -> None:
     speech_test = gen.get_negative_speech_features(
         args.heldout_samples, num_texts=200, seed=args.seed + 77
     )
-    # Clean (pad-only, unaugmented) positives as TRAINING coverage: the
-    # augment chain never emits perfectly clean audio, and a model trained
-    # only on augmented positives measurably rejects clean renderings
-    # (clean FRR 0.575 vs augmented 0.26 before this was added).
-    clean_train = gen.get_validation_features(max(args.train_samples // 4, 1))
-    # Clean positives at RANDOM window offsets: the sliding runtime's
-    # alignment distribution (pad-only is centered; heavy mining measurably
-    # crushed sliding clean recall to 0.67 without this coverage).
-    clean_offset_train = gen.get_clean_offset_features(max(args.train_samples // 4, 1))
-    # The symmetric hard negative: clean NEAR-COLLISIONS at random offsets
-    # (clean-offset positives otherwise pull clean adversaries at odd
-    # alignments into the positive class — "hay bunny"'s clean sliding view
-    # fired the consecutive gate 2/3 of the time while its full view scored
-    # 0.00).
-    clean_offset_adv_train = gen.get_clean_offset_features(
-        max(args.train_samples // 4, 1), adversarial=True, adversarial_phrases=60
-    )
-    # Validation sets for the dynamic negative-weight controller: DISJOINT
-    # pad-only + clean-offset positives (testing caches, fresh seeds), and
-    # stream windows from a seed disjoint from training's.
-    val_pos = gen.get_validation_features(args.heldout_samples, testing=True)
-    val_clean_offset = gen.get_clean_offset_features(args.heldout_samples, testing=True)
+    if not args.eval_only:
+        # Clean (pad-only, unaugmented) positives as TRAINING coverage: the
+        # augment chain never emits perfectly clean audio, and a model trained
+        # only on augmented positives measurably rejects clean renderings
+        # (clean FRR 0.575 vs augmented 0.26 before this was added).
+        clean_train = gen.get_validation_features(max(args.train_samples // 4, 1))
+        # Clean positives at RANDOM window offsets: the sliding runtime's
+        # alignment distribution (pad-only is centered; heavy mining measurably
+        # crushed sliding clean recall to 0.67 without this coverage).
+        clean_offset_train = gen.get_clean_offset_features(max(args.train_samples // 4, 1))
+        # The symmetric hard negative: clean NEAR-COLLISIONS at random offsets
+        # (clean-offset positives otherwise pull clean adversaries at odd
+        # alignments into the positive class — "hay bunny"'s clean sliding view
+        # fired the consecutive gate 2/3 of the time while its full view scored
+        # 0.00).
+        clean_offset_adv_train = gen.get_clean_offset_features(
+            max(args.train_samples // 4, 1), adversarial=True, adversarial_phrases=60
+        )
+        # Validation sets for the dynamic negative-weight controller: DISJOINT
+        # pad-only + clean-offset positives (testing caches, fresh seeds), and
+        # stream windows from a seed disjoint from training's.
+        val_pos = gen.get_validation_features(args.heldout_samples, testing=True)
+        val_clean_offset = gen.get_clean_offset_features(args.heldout_samples, testing=True)
     # REPORTING sets, disjoint from BOTH training coverage and the
     # negative-weight controller's validation sets (fresh seed, separate
     # cache dir so the {phrase}-testing-validation cache names don't
@@ -404,7 +410,7 @@ def main() -> None:
     )
     val_stream = (
         gen.get_stream_window_features(args.val_stream_samples, seed=args.seed + 999)
-        if args.val_stream_samples > 0
+        if args.val_stream_samples > 0 and not args.eval_only
         else None
     )
 
@@ -477,37 +483,45 @@ def main() -> None:
         training.stop()
         return trainer
 
-    # --- hard-negative mining rounds ---------------------------------------
-    # Train, stream ordinary speech + adversarial phrases through the sliding
-    # runtime, harvest every window scoring above the mining floor as a
-    # negative, retrain. This targets exactly the operating metric (false
-    # wakes per hour), which per-clip training negatives under-represent.
     mined: list = []
-    mine_minutes = max(args.stream_minutes / 4.0, 1.0)
-    trainer = train_model(mined, "round 0")
-    for r in range(args.mine_rounds):
-        model = trainer.model
-        speech_stream = synth_speech_stream(
-            mine_minutes, seed=args.seed + 100 + r, exclude_phrase=args.phrase
-        )
-        adv_stream = synth_adversarial_stream(
-            args.phrase, max(mine_minutes / 2.0, 1.0), seed=args.seed + 200 + r
-        )
-        new_mined = 0
-        for stream in (speech_stream, adv_stream):
-            feats, scores = sliding_features_scores(model, stream)
-            hard = feats[scores >= args.mine_floor]
-            new_mined += len(hard)
-            if len(hard):
-                mined.append(hard)
-        logger.info(f"mining round {r + 1}: {new_mined} hard negatives harvested")
-        if new_mined == 0:
-            break
-        trainer = train_model(mined, f"round {r + 1}")
+    if args.eval_only:
+        from heybuddy_tpu.models.wakeword import load_model
 
-    trainer.save_checkpoint("quality-eval_final")
-    final = os.path.join(ckpt_dir, "quality-eval_final.npz")
-    model = trainer.model
+        final = os.path.abspath(args.eval_only)
+        model = load_model(final)
+        logger.info(f"=== eval-only: re-scoring {final} ===")
+    else:
+        # --- hard-negative mining rounds -----------------------------------
+        # Train, stream ordinary speech + adversarial phrases through the
+        # sliding runtime, harvest every window scoring above the mining floor
+        # as a negative, retrain. This targets exactly the operating metric
+        # (false wakes per hour), which per-clip training negatives
+        # under-represent.
+        mine_minutes = max(args.stream_minutes / 4.0, 1.0)
+        trainer = train_model(mined, "round 0")
+        for r in range(args.mine_rounds):
+            model = trainer.model
+            speech_stream = synth_speech_stream(
+                mine_minutes, seed=args.seed + 100 + r, exclude_phrase=args.phrase
+            )
+            adv_stream = synth_adversarial_stream(
+                args.phrase, max(mine_minutes / 2.0, 1.0), seed=args.seed + 200 + r
+            )
+            new_mined = 0
+            for stream in (speech_stream, adv_stream):
+                feats, scores = sliding_features_scores(model, stream)
+                hard = feats[scores >= args.mine_floor]
+                new_mined += len(hard)
+                if len(hard):
+                    mined.append(hard)
+            logger.info(f"mining round {r + 1}: {new_mined} hard negatives harvested")
+            if new_mined == 0:
+                break
+            trainer = train_model(mined, f"round {r + 1}")
+
+        trainer.save_checkpoint("quality-eval_final")
+        final = os.path.join(ckpt_dir, "quality-eval_final.npz")
+        model = trainer.model
 
     def class_scores(iterator) -> np.ndarray:
         feats = iterator.precalculated[:]
@@ -622,8 +636,18 @@ def main() -> None:
         maxima = []
         fired_c2 = []
         for clip in _pipeline_clips(text, n_clips, seed=args.seed + 5):
-            ctx = np.zeros(2 * 16000 + len(clip), dtype=np.float32)
-            off = int(rng.integers(0, 2 * 16000))
+            # Context surrounds the clip on BOTH sides (deployment is a
+            # continuous stream): with no trailing room, placements in the
+            # last ~0.5 s leave fewer than 2 windows fully containing the
+            # phrase and the consecutive gate CANNOT fire — 7 of 20 draws
+            # were geometrically impossible, understating every config's
+            # recall (~0.65 measured vs 1.00 on valid placements, v10).
+            from heybuddy_tpu.data.streams import RUNTIME_WINDOW_STRIDE
+
+            lead = 2 * 16000
+            trail = 24000
+            ctx = np.zeros(lead + len(clip) + trail, dtype=np.float32)
+            off = int(rng.integers(2 * RUNTIME_WINDOW_STRIDE, lead))
             ctx[off : off + len(clip)] = clip
             s = sliding_scores(model, ctx)
             maxima.append(float(s.max()) if s.size else 0.0)
