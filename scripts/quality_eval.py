@@ -73,6 +73,10 @@ def parse_args() -> argparse.Namespace:
                    help="hard-negative mining rounds (stream -> harvest FPs -> retrain)")
     p.add_argument("--mine-floor", type=float, default=0.2,
                    help="mine windows scoring at or above this")
+    p.add_argument("--adversarial-phrases", type=int, default=60,
+                   help="TRAINING adversarial phrase-pool size (held-out pool "
+                        "stays at 60 for cross-config comparability; pools are "
+                        "seed-disjoint either way)")
     p.add_argument("--eval-only", default=None, metavar="CKPT",
                    help="skip training/mining and re-score this checkpoint "
                         "(.npz); with a warm --dataset-dir and cached streams "
@@ -332,7 +336,8 @@ def main() -> None:
         logger.info("=== generating training features ===")
         pos_train = gen.get_training_features(args.train_samples, adversarial=False)
         adv_train = gen.get_training_features(
-            args.train_samples, adversarial=True, adversarial_phrases=60
+            args.train_samples, adversarial=True,
+        adversarial_phrases=args.adversarial_phrases
         )
         partial_train = (
             gen.get_partial_phrase_features(args.partial_samples)
@@ -341,7 +346,8 @@ def main() -> None:
         )
         partial_adv_train = (
             gen.get_partial_phrase_features(
-                args.partial_samples, adversarial=True, adversarial_phrases=60
+                args.partial_samples, adversarial=True,
+                adversarial_phrases=args.adversarial_phrases
             )
             if args.partial_samples > 0
             else None
@@ -386,7 +392,8 @@ def main() -> None:
         # fired the consecutive gate 2/3 of the time while its full view scored
         # 0.00).
         clean_offset_adv_train = gen.get_clean_offset_features(
-            max(args.train_samples // 4, 1), adversarial=True, adversarial_phrases=60
+            max(args.train_samples // 4, 1), adversarial=True,
+            adversarial_phrases=args.adversarial_phrases
         )
         # Validation sets for the dynamic negative-weight controller: DISJOINT
         # pad-only + clean-offset positives (testing caches, fresh seeds), and
@@ -689,6 +696,7 @@ def main() -> None:
         "embedding": args.embedding or "packaged-default",
         "train_samples": args.train_samples,
         "partial_samples": args.partial_samples,
+        "adversarial_phrases": args.adversarial_phrases,
         "steps": args.steps,
         "layers": args.layers,
         "layer_dim": args.layer_dim,
