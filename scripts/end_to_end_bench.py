@@ -78,22 +78,37 @@ def time_pipeline(n: int, seed: int, tmpdir: str) -> float:
     return written / dt
 
 
-def time_featurize(batch: int = 2048) -> float:
-    """Device-only featurization clips/s (bench.py's fused path)."""
-    from heybuddy_tpu.models.featurizer import get_speech_embeddings
+def time_featurize(batch: int = 2048, iters: int = 10) -> float:
+    """Device-only featurization clips/s on HBM-resident batches (bench.py's
+    exact methodology; feeding numpy per call instead measures the axon
+    tunnel's host->device transfer, ~400x slower than the compute)."""
+    import jax
 
-    emb = get_speech_embeddings()
+    from heybuddy_tpu.constants import CLIP_SAMPLES
+    from heybuddy_tpu.models import embedding_net
+    from heybuddy_tpu.models.featurizer import featurize_batch
+
+    params = embedding_net.default_params()
     rng = np.random.default_rng(0)
-    clips = rng.normal(0, 0.1, (batch, 23040)).astype(np.float32)
-    out, _ = emb.featurize_device(clips)
-    np.asarray(out[0, 0, 0])  # sync (block_until_ready returns early on axon)
+    audio = jax.device_put(
+        rng.normal(0.0, 1000.0, (batch, CLIP_SAMPLES)).astype(np.float32)
+    )
+    fn = jax.jit(featurize_batch)
+
+    def fetch(result):
+        return float(np.asarray(result[0, 0, 0]))
+
+    for _ in range(3):
+        fetch(fn(params, audio))
     best = float("inf")
     for _ in range(3):
-        t0 = time.time()
-        out, _ = emb.featurize_device(clips)
-        np.asarray(out[0, 0, 0])
-        best = min(best, time.time() - t0)
-    return batch / best
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = fn(params, audio)
+        fetch(out)
+        best = min(best, time.perf_counter() - t0)
+    return batch * iters / best
 
 
 def time_training(steps: int, seed: int, tmpdir: str) -> float:
@@ -211,12 +226,15 @@ on an A100. Measured on one TPU v5e chip (axon tunnel) + one host core.
 | training (15,000 steps) | {e['training_s']:.0f} s |
 | **end-to-end** | **{e['end_to_end_s']:.0f} s ({e['end_to_end_h']} h)** |
 
-The pipeline is **host-TTS-bound**: the device featurizes
+The pipeline is **host-bound**: the device featurizes
 {r['featurize_clips_per_s']:.0f} clips/s while the host synthesizes
-{r['tts_clips_per_s']} clips/s on its single core, so feature generation
-scales with TTS throughput (embarrassingly parallel across host cores on a
-multi-core production host; a Piper/VITS checkpoint on-device would remove
-the host bottleneck entirely — the JAX VITS inference stack is ready).
+{r['tts_clips_per_s']} clips/s on its single core — and the full pipeline
+runs at roughly half the pure TTS rate because augmentation randomness,
+noise/IR preparation, and batch orchestration share that one core with TTS.
+Feature generation therefore scales with host cores (TTS and augment prep
+are embarrassingly parallel across cores on a multi-core production host; a
+Piper/VITS checkpoint running on-device would remove the host bottleneck
+entirely — the JAX VITS inference stack is ready).
 
 Reference comparison: the reference publishes no end-to-end numbers
 (BASELINE.md). Its pipeline on an A100 pays GPU VITS TTS (its README
