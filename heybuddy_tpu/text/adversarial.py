@@ -185,6 +185,7 @@ class AdversarialTextGenerator:
 
         yielded = 0
         failures = 0
+        seen: set = set()
         while num_samples is None or yielded < num_samples:
             parts: List[str] = []
             for candidates, original in zip(adversarial_per_word, words):
@@ -200,13 +201,16 @@ class AdversarialTextGenerator:
             else:
                 adversarial_text = " ".join(parts)
 
-            if adversarial_text != input_text:
+            if adversarial_text != input_text and adversarial_text not in seen:
+                seen.add(adversarial_text)
                 yield adversarial_text
                 yielded += 1
                 failures = 0
             else:
-                # Bounded rejection: with few candidates (e.g. every word kept
-                # itself) distinct texts may be rare or impossible.
+                # Bounded rejection: duplicates (candidate multiplicity made a
+                # 60-draw pool carry the same phrase 10+ times, collapsing
+                # training adversarial diversity) or the input itself. With few
+                # candidates distinct texts may be rare or impossible.
                 failures += 1
                 if failures >= 100:
                     logger.warning(

@@ -99,4 +99,10 @@ verb verse whirl worker burly furry hurry jury merit peril barrel
 body buddy muddy study ruddy daddy teddy lady shady tidy windy candy dandy handy sandy
 bundle handle candle middle riddle paddle saddle puddle noodle poodle
 hollow follow fallow mallow shallow swallow yellow
+bunny sunny penny granny nanny skinny tiny pony puny bony zany rainy
+buggy muggy foggy doggy soggy baggy piggy
+puppy putty petty pity party potty patty bully belly jelly silly
+hay bay jay lay may nay pay ray clay gray pray stay tray stray spray
+gravy navy wavy ivy envy
+cuddle huddle muddle
 """.split()
