@@ -74,11 +74,14 @@ class Lexicon:
             logger.info(f"Adversarial lexicon: CMU dictionary with {len(self.entries)} words")
         else:
             g2p = SimplePhonemizer(use_cmudict=False)
-            for word in set(WORDS):
+            # sorted: set iteration order depends on PYTHONHASHSEED, which
+            # would make candidate order — and therefore seeded pools —
+            # differ across processes.
+            for word in sorted(set(WORDS)):
                 phones = g2p.word_phones(word)
                 if phones:
                     self.entries[word] = _stress_phones(phones)
-        self._items: List[Tuple[str, str]] = list(self.entries.items())
+        self._items: List[Tuple[str, str]] = sorted(self.entries.items())
 
     def phones_for_word(self, word: str) -> Optional[str]:
         return self.entries.get(word.lower())
@@ -212,7 +215,11 @@ class AdversarialTextGenerator:
                 # training adversarial diversity) or the input itself. With few
                 # candidates distinct texts may be rare or impossible.
                 failures += 1
-                if failures >= 100:
+                # Rejection draws are near-free (no TTS); a tight bound made
+                # large pools exhaust early because the word distribution is
+                # multiplicity-weighted and late draws are mostly duplicates
+                # (measured: 150 requested -> 134 yielded at bound 100).
+                if failures >= 2000:
                     logger.warning(
                         f"Exhausted adversarial sampling for '{input_text}' "
                         f"after {yielded} distinct text(s)"

@@ -50,6 +50,19 @@ def test_adversarial_candidates_phonetically_near():
     assert "buddy" not in words
 
 
+def test_adversarial_pool_distinct_and_covers_minimal_pairs():
+    """N requested phrases = N distinct phrases (duplicates used to collapse a
+    60-draw pool to ~half its nominal diversity), and the offline lexicon
+    reaches the production near-collisions of 'hey buddy' (one-phone edits
+    like bunny/buggy)."""
+    generator = AdversarialTextGenerator()
+    pool = list(generator("hey buddy", num_samples=150, seed=1077))
+    assert len(pool) == 150
+    assert len(set(pool)) == 150
+    second_words = {t.split()[-1] for t in pool}
+    assert "bunny" in second_words or "buggy" in second_words
+
+
 def test_tokenizer_fixed_length_and_consistency():
     tokenizer = BERTTokenizer(length=96)
     ids = tokenizer("hello world")
