@@ -84,6 +84,7 @@ def _trunk_pool_body(
     *,
     T: int, P: int, heads: int, hidden: int, n_windows: int, n_blocks: int,
     compute,
+    ablate: frozenset = frozenset(),
 ):
     """
     Value-level kernel math shared by ``fused_embedding_windows`` and the
@@ -92,13 +93,21 @@ def _trunk_pool_body(
     lower on Mosaic (see module docstring).
     """
     wh = n_windows * heads
+    # ``ablate`` is a PROFILING-ONLY switch (scripts/kernel_perf_sweep.py):
+    # each member replaces one stage with a cheap stand-in of the same shape
+    # so compile-and-time diffs attribute the kernel's cost per stage. Never
+    # set in production paths.
     # ---- trunk over all patches (2D, leading merge) -------------------------
     feats = (
         jnp.dot(_rms(x, compute), w_patch, preferred_element_type=jnp.float32) + b_patch[0]
     ).astype(compute)
     for i in range(n_blocks):
-        h = jnp.dot(_rms(feats, compute), up_w[i], preferred_element_type=jnp.float32) + up_b[i]
-        h = (0.5 * h * (1.0 + _erf(h * GELU_K))).astype(compute)
+        pre = feats if "trunk_rms" in ablate else _rms(feats, compute)
+        h = jnp.dot(pre, up_w[i], preferred_element_type=jnp.float32) + up_b[i]
+        if "gelu" in ablate:
+            h = jnp.maximum(h, 0.0).astype(compute)
+        else:
+            h = (0.5 * h * (1.0 + _erf(h * GELU_K))).astype(compute)
         feats = feats + (
             jnp.dot(h, dn_w[i], preferred_element_type=jnp.float32) + dn_b[i]
         ).astype(compute)
@@ -106,14 +115,17 @@ def _trunk_pool_body(
     # ---- patch scores & band weights ----------------------------------------
     a = jnp.dot(feats, q, preferred_element_type=jnp.float32)  # (T*P, H)
     a3 = a.reshape(T, P, heads)
-    a3 = a3 - jnp.max(a3, axis=1, keepdims=True)
-    ea = jnp.exp(a3)                                          # (T, P, H) f32
-    ea_t = jnp.swapaxes(ea, 1, 2)                             # (T, H, P)
-    tile_b = jnp.broadcast_to(tile_h, (T, wh, heads))
-    e_sel = _batched_dot(tile_b, ea_t)                        # (T, WH, P)
-    bw = band[None] * e_sel
-    denom = jnp.sum(bw, axis=2, keepdims=True)                # (T, WH, 1)
-    weights = (bw / (denom + 1e-30)).astype(compute)
+    if "softmax" in ablate:
+        weights = jnp.broadcast_to(band[None], (T, wh, P)).astype(compute)
+    else:
+        a3 = a3 - jnp.max(a3, axis=1, keepdims=True)
+        ea = jnp.exp(a3)                                          # (T, P, H) f32
+        ea_t = jnp.swapaxes(ea, 1, 2)                             # (T, H, P)
+        tile_b = jnp.broadcast_to(tile_h, (T, wh, heads))
+        e_sel = _batched_dot(tile_b, ea_t)                        # (T, WH, P)
+        bw = band[None] * e_sel
+        denom = jnp.sum(bw, axis=2, keepdims=True)                # (T, WH, 1)
+        weights = (bw / (denom + 1e-30)).astype(compute)
 
     # ---- pooled = W @b feats + W @wh POSP ------------------------------------
     feats3 = feats.reshape(T, P, hidden)
@@ -121,21 +133,18 @@ def _trunk_pool_body(
     # Mosaic requires both batch dims at position 0 (probed: mixed positions
     # fail with "batch dims must be equal"), so swap WH to the front, run the
     # batched dot, and swap back (leading-dim swapaxes is supported).
-    weights_whT = jnp.swapaxes(weights, 0, 1)                 # (WH, T, P)
-    numer2 = _batched_dot(weights_whT, posp)                  # (WH, T, hidden)
-    pooled = numer1 + jnp.swapaxes(numer2, 0, 1)              # (T, WH, hidden) f32
+    if "posp" in ablate:
+        pooled = numer1
+    else:
+        weights_whT = jnp.swapaxes(weights, 0, 1)             # (WH, T, P)
+        numer2 = _batched_dot(weights_whT, posp)              # (WH, T, hidden)
+        pooled = numer1 + jnp.swapaxes(numer2, 0, 1)          # (T, WH, hidden) f32
 
     # ---- grouped rms over each window's (heads*hidden) -----------------------
-    denom_n = float(heads * hidden)
-    rowsum = jnp.sum(pooled, axis=2)                          # (T, WH)
-    mean_w = jnp.dot(rowsum, gs, preferred_element_type=jnp.float32) / denom_n
-    mean_rep = jnp.dot(mean_w, gs.T, preferred_element_type=jnp.float32)
-    centered = pooled - mean_rep[:, :, None]
-    sqsum = jnp.sum(centered * centered, axis=2)              # (T, WH)
-    ms_w = jnp.dot(sqsum, gs, preferred_element_type=jnp.float32) / denom_n
-    scale_w = jax.lax.rsqrt(ms_w + 1e-6)
-    scale_rep = jnp.dot(scale_w, gs.T, preferred_element_type=jnp.float32)
-    norm = (centered * scale_rep[:, :, None]).astype(compute)  # (T, WH, hidden)
+    if "pool_rms" in ablate:
+        norm = pooled.astype(compute)
+    else:
+        norm = _grouped_rms(pooled, gs, heads, hidden, compute)
 
     # ---- head: out = sum_h (SEL_h @b norm) @ W_head[h] ------------------------
     out = None
@@ -149,6 +158,19 @@ def _trunk_pool_body(
         )                                                      # (T, W, 96)
         out = part if out is None else out + part
     return out + b_head[0][None, None]
+
+
+def _grouped_rms(pooled, gs, heads, hidden, compute):
+    denom_n = float(heads * hidden)
+    rowsum = jnp.sum(pooled, axis=2)                          # (T, WH)
+    mean_w = jnp.dot(rowsum, gs, preferred_element_type=jnp.float32) / denom_n
+    mean_rep = jnp.dot(mean_w, gs.T, preferred_element_type=jnp.float32)
+    centered = pooled - mean_rep[:, :, None]
+    sqsum = jnp.sum(centered * centered, axis=2)              # (T, WH)
+    ms_w = jnp.dot(sqsum, gs, preferred_element_type=jnp.float32) / denom_n
+    scale_w = jax.lax.rsqrt(ms_w + 1e-6)
+    scale_rep = jnp.dot(scale_w, gs.T, preferred_element_type=jnp.float32)
+    return (centered * scale_rep[:, :, None]).astype(compute)  # (T, WH, hidden)
 
 
 def _pool_constants(
@@ -233,6 +255,8 @@ def fused_embedding_windows(
     config: EmbeddingNetConfig = None,
     clip_tile: int = 16,
     interpret: bool = False,
+    vmem_limit_bytes: int = None,
+    ablate: frozenset = frozenset(),
 ) -> jax.Array:
     """
     (b, frames, mel) spectrogram + static window starts -> (b, W, 96),
@@ -295,12 +319,16 @@ def fused_embedding_windows(
             wp_ref[...], bp_ref[...], upw_ref[...], upb_ref[...],
             dnw_ref[...], dnb_ref[...], q_ref[...], wh_ref[...], bh_ref[...],
             T=T, P=P, heads=heads, hidden=hidden, n_windows=n_windows,
-            n_blocks=n_blocks, compute=compute,
+            n_blocks=n_blocks, compute=compute, ablate=ablate,
         )
 
+    compiler_params = None
+    if vmem_limit_bytes is not None:
+        compiler_params = pltpu.CompilerParams(vmem_limit_bytes=vmem_limit_bytes)
     out = pl.pallas_call(
         kernel,
         grid=(total_b // T,),
+        compiler_params=compiler_params,
         in_specs=[
             pl.BlockSpec((T, P, cfg.patch_dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((wh, P), lambda i: (0, 0), memory_space=pltpu.VMEM),
