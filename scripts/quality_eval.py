@@ -77,6 +77,15 @@ def parse_args() -> argparse.Namespace:
                    help="TRAINING adversarial phrase-pool size (held-out pool "
                         "stays at 60 for cross-config comparability; pools are "
                         "seed-disjoint either way)")
+    p.add_argument("--hard-pair-boost", type=int, default=0,
+                   help="N>0 adds the wake phrase's closest single-word "
+                        "phonetic neighbors (auto-derived from the lexicon) "
+                        "to the TRAINING adversarial pool, each duplicated N "
+                        "times for rendering depth. Breadth (the generated "
+                        "pool) is unaffected; held-out pools never include "
+                        "them. v10-vs-v11 measured the tradeoff: breadth "
+                        "fixes FAR_adv generalization, depth fixes gate "
+                        "separation of minimal pairs.")
     p.add_argument("--eval-only", default=None, metavar="CKPT",
                    help="skip training/mining and re-score this checkpoint "
                         "(.npz); with a warm --dataset-dir and cached streams "
@@ -148,6 +157,31 @@ def synth_speech_stream(minutes: float, seed: int, exclude_phrase: str = ""):
         lambda: _synth(minutes, seed, exclude_phrase=exclude_phrase,
                        tts_backend="formant"),
     )
+
+
+def derive_hard_pairs(phrase: str) -> list:
+    """The phrase's closest single-word phonetic substitutions, auto-derived:
+    for each word, the lexicon neighbors with the highest wildcard-match
+    multiplicity (= fewest phone edits) swapped into the phrase."""
+    import collections
+
+    from heybuddy_tpu.text.adversarial import get_adversarial_text_generator
+
+    g = get_adversarial_text_generator()
+    words = phrase.split()
+    pairs = []
+    for i, w in enumerate(words):
+        counts = collections.Counter(g.adversarial_words(w))
+        top = counts.most_common()
+        if not top:
+            continue
+        best = top[0][1]
+        closest = [cand for cand, n in top if n == best][:8]
+        for cand in closest:
+            text = " ".join(words[:i] + [cand] + words[i + 1 :])
+            if text != phrase:
+                pairs.append(text)
+    return sorted(set(pairs))
 
 
 def synth_adversarial_stream(phrase: str, minutes: float, seed: int):
@@ -330,7 +364,24 @@ def main() -> None:
         tts_backend="formant",
         seed=args.seed,
     )
-    gen = TrainingFeaturesGenerator(args.phrase, **gen_kwargs)
+    hard_texts: list = []
+    if args.hard_pair_boost > 0:
+        hard_texts = derive_hard_pairs(args.phrase) * args.hard_pair_boost
+        logger.info(
+            f"hard-pair boost: {len(set(hard_texts))} phrases x "
+            f"{args.hard_pair_boost} = {len(hard_texts)} pool entries: "
+            f"{sorted(set(hard_texts))}"
+        )
+    train_gen_kwargs = dict(gen_kwargs)
+    if hard_texts:
+        train_gen_kwargs["custom_adversarial_texts"] = hard_texts
+    gen = TrainingFeaturesGenerator(args.phrase, **train_gen_kwargs)
+    # Held-out/report pools must stay free of the boosted pairs (they would
+    # otherwise leak training emphasis into the FAR_adv estimate).
+    gen_heldout = (
+        TrainingFeaturesGenerator(args.phrase, **gen_kwargs) if hard_texts else gen
+    )
+    train_adv_pool = args.adversarial_phrases + len(hard_texts)
 
     if not args.eval_only:
         logger.info("=== generating training features ===")
@@ -347,7 +398,7 @@ def main() -> None:
         partial_adv_train = (
             gen.get_partial_phrase_features(
                 args.partial_samples, adversarial=True,
-                adversarial_phrases=args.adversarial_phrases
+                adversarial_phrases=train_adv_pool
             )
             if args.partial_samples > 0
             else None
@@ -370,7 +421,7 @@ def main() -> None:
 
     logger.info("=== generating held-out features ===")
     pos_test = gen.get_training_features(args.heldout_samples, adversarial=False, testing=True)
-    adv_test = gen.get_training_features(
+    adv_test = gen_heldout.get_training_features(
         args.heldout_samples, adversarial=True, adversarial_phrases=60, testing=True
     )
     speech_test = gen.get_negative_speech_features(
@@ -393,7 +444,7 @@ def main() -> None:
         # 0.00).
         clean_offset_adv_train = gen.get_clean_offset_features(
             max(args.train_samples // 4, 1), adversarial=True,
-            adversarial_phrases=args.adversarial_phrases
+            adversarial_phrases=train_adv_pool
         )
         # Validation sets for the dynamic negative-weight controller: DISJOINT
         # pad-only + clean-offset positives (testing caches, fresh seeds), and
@@ -697,6 +748,7 @@ def main() -> None:
         "train_samples": args.train_samples,
         "partial_samples": args.partial_samples,
         "adversarial_phrases": args.adversarial_phrases,
+        "hard_pair_boost": args.hard_pair_boost,
         "steps": args.steps,
         "layers": args.layers,
         "layer_dim": args.layer_dim,
