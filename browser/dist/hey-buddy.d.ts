@@ -56,4 +56,10 @@ export declare class EnergyVAD {
   update(audio: Float32Array): boolean;
   speaking: boolean;
 }
+export declare class MutexLock {
+  acquire(): Promise<() => void>;
+  runExclusive<T>(fn: () => Promise<T> | T): Promise<T>;
+  readonly locked: boolean;
+  readonly pending: number;
+}
 export default HeyBuddy;

@@ -27,8 +27,8 @@ import re
 
 BROWSER_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "browser")
 
-# Concatenation order respects the import graph: audio -> models -> hey-buddy.
-MODULES = ["src/audio.js", "src/models.js", "src/hey-buddy.js"]
+# Concatenation order respects the import graph: mutex/audio -> models -> hey-buddy.
+MODULES = ["src/mutex.js", "src/audio.js", "src/models.js", "src/hey-buddy.js"]
 
 UMD_HEADER = """\
 (function (root, factory) {
@@ -53,6 +53,7 @@ UMD_FOOTER = """\
   HeyBuddy.SileroVAD = SileroVAD;
   HeyBuddy.WakeWord = WakeWord;
   HeyBuddy.resolveOrt = resolveOrt;
+  HeyBuddy.MutexLock = MutexLock;
   return HeyBuddy;
 });
 """
@@ -115,6 +116,12 @@ export declare class EnergyVAD {
   probability(audio: Float32Array): number;
   update(audio: Float32Array): boolean;
   speaking: boolean;
+}
+export declare class MutexLock {
+  acquire(): Promise<() => void>;
+  runExclusive<T>(fn: () => Promise<T> | T): Promise<T>;
+  readonly locked: boolean;
+  readonly pending: number;
 }
 export default HeyBuddy;
 """

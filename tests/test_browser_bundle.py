@@ -82,10 +82,22 @@ def test_umd_wrapper_and_exports(dist):
     assert "root.HeyBuddy = factory()" in bundle
     for cls in ("class HeyBuddy", "class AudioBatcher", "class OnnxModel",
                 "class MelSpectrogram", "class SpeechEmbedding", "class EnergyVAD",
-                "class SileroVAD", "class WakeWord"):
+                "class SileroVAD", "class WakeWord", "class MutexLock"):
         assert cls in bundle, cls
-    for attached in ("HeyBuddy.SileroVAD = SileroVAD", "HeyBuddy.AudioBatcher = AudioBatcher"):
+    for attached in ("HeyBuddy.SileroVAD = SileroVAD", "HeyBuddy.AudioBatcher = AudioBatcher",
+                     "HeyBuddy.MutexLock = MutexLock"):
         assert attached in bundle, attached
+
+
+def test_mutex_semantics_structural():
+    """No JS engine in-image: check the mutex contract structurally — FIFO
+    waiter queue, idempotent release, exception-safe runExclusive."""
+    with open(os.path.join(REPO, "browser", "src", "mutex.js")) as f:
+        src = f.read()
+    assert "_waiters.push(grant)" in src          # queued when held
+    assert "_waiters.shift()" in src              # FIFO handoff
+    assert "if (released) return;" in src         # idempotent release
+    assert "finally {" in src and "release();" in src  # runExclusive never leaks
 
 
 def test_module_syntax_fully_erased(dist):
