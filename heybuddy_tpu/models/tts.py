@@ -185,10 +185,20 @@ class FormantTTS(BaseTTS):
 
         self.synth = FormantSynthesizer()
         self._num_speakers = num_speakers
+        self._pool = None
 
     @property
     def num_speakers(self) -> int:
         return self._num_speakers
+
+    def _executor(self, workers: int):
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(
+                max_workers=workers, thread_name_prefix="heybuddy-tts"
+            )
+        return self._pool
 
     def synthesize_batch(
         self,
@@ -200,20 +210,35 @@ class FormantTTS(BaseTTS):
         noise_scale_w: float,
         seed: int,
     ) -> List[np.ndarray]:
-        out = []
-        for j, (text, (s1, s2)) in enumerate(zip(texts, speakers)):
-            # slerp between speakers approximated by blending speaker seeds
-            speaker = s1 if slerp_weight < 0.5 else s2
-            out.append(
-                self.synth.synthesize(
-                    text,
-                    speaker=speaker,
-                    length_scale=length_scale,
-                    noise_scale=noise_scale,
-                    seed=seed * 31 + j,
-                )
+        # slerp between speakers approximated by blending speaker seeds
+        tasks = [
+            (text, s1 if slerp_weight < 0.5 else s2, seed * 31 + j)
+            for j, (text, (s1, s2)) in enumerate(zip(texts, speakers))
+        ]
+
+        def render(task: Tuple[str, int, int]) -> np.ndarray:
+            text, speaker, clip_seed = task
+            return self.synth.synthesize(
+                text,
+                speaker=speaker,
+                length_scale=length_scale,
+                noise_scale=noise_scale,
+                seed=clip_seed,
             )
-        return out
+
+        # Host TTS is the end-to-end pipeline's bottleneck (END_TO_END.md) and
+        # each clip is rendered from its own explicit seed, so fan out across
+        # host cores when there are any. Outputs are deterministic and
+        # identical to the serial path regardless of thread count (collected
+        # in submission order; the synthesizer is stateless per call and
+        # numpy-only, which also keeps the axon single-chip rule — device
+        # work stays on the main thread). HEYBUDDY_TTS_THREADS overrides; 1
+        # forces serial.
+        env = os.environ.get("HEYBUDDY_TTS_THREADS", "").strip()
+        workers = int(env) if env else min(os.cpu_count() or 1, 8)
+        if workers > 1 and len(tasks) > 1:
+            return list(self._executor(workers).map(render, tasks))
+        return [render(t) for t in tasks]
 
 
 class VitsTTS(BaseTTS):

@@ -198,3 +198,21 @@ def test_partial_phrase_features_and_iterator_wiring(tmp_path, monkeypatch):
     iterator.stop()
     assert x.shape[0] == y.shape[0] == 12  # 3 pos + 3 adv + 3+3 partial
     assert int(y.sum()) == 3  # partial views labeled negative
+
+
+def test_formant_tts_threaded_batch_matches_serial(monkeypatch):
+    """HEYBUDDY_TTS_THREADS must not change outputs: per-clip explicit seeds
+    make the threaded fan-out bit-identical to the serial path."""
+    texts = ["hey buddy", "good morning", "turn it on", "hello there"]
+    speakers = [(1, 2), (3, 4), (5, 6), (7, 8)]
+    kwargs = dict(
+        slerp_weight=0.3, length_scale=1.0, noise_scale=0.667,
+        noise_scale_w=0.8, seed=11,
+    )
+    monkeypatch.setenv("HEYBUDDY_TTS_THREADS", "1")
+    serial = FormantTTS().synthesize_batch(texts, speakers, **kwargs)
+    monkeypatch.setenv("HEYBUDDY_TTS_THREADS", "3")
+    threaded = FormantTTS().synthesize_batch(texts, speakers, **kwargs)
+    assert len(serial) == len(threaded) == len(texts)
+    for a, b in zip(serial, threaded):
+        np.testing.assert_array_equal(a, b)
