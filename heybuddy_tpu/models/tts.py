@@ -17,6 +17,9 @@ Two backends behind the same interface:
   ARPAbet -> IPA -> ids.
 * :class:`FormantTTS` — the dependency-free formant synthesizer
   (models/formant.py), the default when no checkpoint is present.
+* :class:`DeviceFormantTTS` — the same synthesis planned on the host but
+  rendered on the TPU (models/formant_device.py); opt-in via the
+  "formant-device" backend name.
 
 ``get_tts_model()`` picks the backend automatically.
 """
@@ -43,7 +46,14 @@ from heybuddy_tpu.text.phonemizer import SimplePhonemizer
 from heybuddy_tpu.utils.audio_io import resample_audio
 from heybuddy_tpu.utils.log import logger
 
-__all__ = ["BaseTTS", "FormantTTS", "VitsTTS", "get_tts_model", "arpabet_to_ipa"]
+__all__ = [
+    "BaseTTS",
+    "FormantTTS",
+    "DeviceFormantTTS",
+    "VitsTTS",
+    "get_tts_model",
+    "arpabet_to_ipa",
+]
 
 TextsType = Union[str, List[str], List[Tuple[str, float]]]
 
@@ -241,6 +251,87 @@ class FormantTTS(BaseTTS):
         return [render(t) for t in tasks]
 
 
+class DeviceFormantTTS(BaseTTS):
+    """TPU-rendered formant backend ("formant-device").
+
+    Same utterance planning as :class:`FormantTTS` (segments, formant tracks,
+    pitch and phase are computed by the same host code), but the rendering
+    FLOPs run on the device (`models/formant_device.py`) — the host pipeline's
+    measured bottleneck (END_TO_END.md). Planning is numpy-only; the device
+    call happens on the caller's thread, keeping the axon single-thread rule.
+    Clips longer than the compiled shape fall back to the host renderer.
+    """
+
+    def __init__(self, num_speakers: int = 904, max_samples: Optional[int] = None,
+                 harmonics: Optional[int] = None) -> None:
+        super().__init__()
+        from heybuddy_tpu.models.formant import FormantSynthesizer
+        from heybuddy_tpu.models.formant_device import (
+            DEFAULT_HARMONICS,
+            DEFAULT_MAX_SAMPLES,
+            DeviceFormantPlanner,
+        )
+
+        self.planner = DeviceFormantPlanner(
+            max_samples=max_samples or DEFAULT_MAX_SAMPLES)
+        self.harmonics = harmonics or DEFAULT_HARMONICS
+        self._host = FormantSynthesizer()
+        self._num_speakers = num_speakers
+
+    @property
+    def num_speakers(self) -> int:
+        return self._num_speakers
+
+    @staticmethod
+    def _bucket(n: int) -> int:
+        """Pad batches to a few fixed sizes: each new batch shape is a fresh
+        remote compile (40-500 s) on the tunneled TPU."""
+        for b in (8, 32, 128, 256):
+            if n <= b:
+                return b
+        return n
+
+    def synthesize_batch(
+        self,
+        texts: List[str],
+        speakers: List[Tuple[int, int]],
+        slerp_weight: float,
+        length_scale: float,
+        noise_scale: float,
+        noise_scale_w: float,
+        seed: int,
+    ) -> List[np.ndarray]:
+        from heybuddy_tpu.models.formant_device import render_batch
+
+        tasks = [
+            (text, s1 if slerp_weight < 0.5 else s2, seed * 31 + j)
+            for j, (text, (s1, s2)) in enumerate(zip(texts, speakers))
+        ]
+        plans = [
+            self.planner.plan(
+                text, speaker=speaker, length_scale=length_scale,
+                noise_scale=noise_scale, seed=clip_seed)
+            for text, speaker, clip_seed in tasks
+        ]
+        device_idx = [i for i, p in enumerate(plans) if p is not None]
+        rendered = render_batch(
+            [plans[i] for i in device_idx],
+            l_max=self.planner.max_samples,
+            harmonics=self.harmonics,
+            pad_to=self._bucket(len(device_idx)),
+        )
+        out: List[Optional[np.ndarray]] = [None] * len(tasks)
+        for i, clip in zip(device_idx, rendered):
+            out[i] = clip
+        for i, plan in enumerate(plans):
+            if plan is None:
+                text, speaker, clip_seed = tasks[i]
+                out[i] = self._host.synthesize(
+                    text, speaker=speaker, length_scale=length_scale,
+                    noise_scale=noise_scale, seed=clip_seed)
+        return [clip for clip in out if clip is not None]
+
+
 class VitsTTS(BaseTTS):
     """JAX VITS backend (piper checkpoint import)."""
 
@@ -399,6 +490,8 @@ def get_tts_model(backend: Optional[str] = None, **kwargs: Any) -> BaseTTS:
             backend = "vits" if (ckpt and os.path.exists(ckpt)) else "formant"
         if backend == "vits":
             _GLOBAL_TTS = VitsTTS(**kwargs)
+        elif backend in ("formant-device", "device"):
+            _GLOBAL_TTS = DeviceFormantTTS(**kwargs)
         else:
             _GLOBAL_TTS = FormantTTS(**kwargs)
     return _GLOBAL_TTS
