@@ -100,6 +100,12 @@ class TrainingFeaturesGenerator:
     ) -> None:
         auto = autoconfigure_batch_sizes()
         embed_batch_size = embed_batch_size or auto["embed_batch_size"]
+        # The host-tier TTS batch sizes assume the slow host renderer; the
+        # device backend amortizes one jitted render per batch, so feed it
+        # full device batches (models/formant_device.py bucket sizes).
+        resolved_backend = tts_backend or os.environ.get("HEYBUDDY_TTS_BACKEND")
+        if tts_batch_size is None and resolved_backend in ("formant-device", "device"):
+            tts_batch_size = 128
         tts_batch_size = tts_batch_size or auto["tts_batch_size"]
         augment_batch_size = augment_batch_size or auto["augment_batch_size"]
         self.phrase = phrase

@@ -473,25 +473,28 @@ class VitsTTS(BaseTTS):
         return out
 
 
-_GLOBAL_TTS: Optional[BaseTTS] = None
+_GLOBAL_TTS: Dict[str, BaseTTS] = {}
 
 
 def get_tts_model(backend: Optional[str] = None, **kwargs: Any) -> BaseTTS:
     """
-    Shared TTS instance (reference pretrained.py:427-443). Backend resolution:
-    explicit arg > HEYBUDDY_TTS_BACKEND env > "vits" if a checkpoint exists >
-    "formant".
+    Shared TTS instance per backend (reference pretrained.py:427-443).
+    Backend resolution: explicit arg > HEYBUDDY_TTS_BACKEND env > "vits" if a
+    checkpoint exists > "formant". Instances are cached by resolved backend
+    name so mixed-backend processes (benchmarks, backend comparisons) get the
+    backend they ask for rather than whichever was constructed first.
     """
-    global _GLOBAL_TTS
-    if _GLOBAL_TTS is None:
-        backend = backend or os.environ.get("HEYBUDDY_TTS_BACKEND")
-        if backend is None:
-            ckpt = os.environ.get("HEYBUDDY_TTS_CHECKPOINT")
-            backend = "vits" if (ckpt and os.path.exists(ckpt)) else "formant"
+    backend = backend or os.environ.get("HEYBUDDY_TTS_BACKEND")
+    if backend is None:
+        ckpt = os.environ.get("HEYBUDDY_TTS_CHECKPOINT")
+        backend = "vits" if (ckpt and os.path.exists(ckpt)) else "formant"
+    if backend == "device":
+        backend = "formant-device"
+    if backend not in _GLOBAL_TTS:
         if backend == "vits":
-            _GLOBAL_TTS = VitsTTS(**kwargs)
-        elif backend in ("formant-device", "device"):
-            _GLOBAL_TTS = DeviceFormantTTS(**kwargs)
+            _GLOBAL_TTS[backend] = VitsTTS(**kwargs)
+        elif backend == "formant-device":
+            _GLOBAL_TTS[backend] = DeviceFormantTTS(**kwargs)
         else:
-            _GLOBAL_TTS = FormantTTS(**kwargs)
-    return _GLOBAL_TTS
+            _GLOBAL_TTS[backend] = FormantTTS(**kwargs)
+    return _GLOBAL_TTS[backend]

@@ -44,15 +44,18 @@ def parse_args():
     return p.parse_args()
 
 
-def time_tts(n: int, seed: int) -> float:
-    """Pure host TTS clips/s through the production sample generator."""
+def time_tts(n: int, seed: int, backend: str = "formant",
+             batch_size: int = 8) -> float:
+    """Pure TTS clips/s through the production sample generator."""
     from heybuddy_tpu.data.tts_generator import SpeechSampleGenerator
 
     gen = SpeechSampleGenerator(
-        "hey buddy", batch_size=8, seed=seed, tts_backend="formant"
+        "hey buddy", batch_size=batch_size, seed=seed, tts_backend=backend
     )
     it = gen(n)
-    next(it)  # warm (phonemizer init etc.); not counted in the timed window
+    # warm (phonemizer init, device compiles); not counted in the timed window
+    for _ in range(batch_size):
+        next(it)
     t0 = time.time()
     count = 0
     for _ in it:
@@ -60,16 +63,18 @@ def time_tts(n: int, seed: int) -> float:
     return count / (time.time() - t0)
 
 
-def time_pipeline(n: int, seed: int, tmpdir: str) -> float:
+def time_pipeline(n: int, seed: int, tmpdir: str,
+                  backend: str = "formant") -> float:
     """TTS -> augment -> featurize -> shard store, the production path."""
     from heybuddy_tpu.data.features import TrainingFeaturesGenerator
     from heybuddy_tpu.utils.npy import AppendableNpyFile
 
     gen = TrainingFeaturesGenerator(
-        "hey buddy", directory=tmpdir, tts_backend="formant", seed=seed,
+        "hey buddy", directory=tmpdir, tts_backend=backend, seed=seed,
         use_cache=False,
     )
-    store = AppendableNpyFile(os.path.join(tmpdir, "e2e-probe.npy"))
+    store = AppendableNpyFile(
+        os.path.join(tmpdir, f"e2e-probe-{backend}.npy"))
     # warm the jitted augment+featurize programs on a tiny run
     gen.generate(8, store=store, seed_offset=900000)
     t0 = time.time()
@@ -170,10 +175,20 @@ def main() -> None:
     t_all = time.time()
     results["tts_clips_per_s"] = round(time_tts(args.clips, args.seed), 2)
     print(f"TTS (host): {results['tts_clips_per_s']} clips/s")
+    results["tts_device_clips_per_s"] = round(
+        time_tts(args.clips, args.seed, backend="formant-device",
+                 batch_size=128), 2)
+    print(f"TTS (formant-device): {results['tts_device_clips_per_s']} clips/s")
     results["pipeline_clips_per_s"] = round(
         time_pipeline(args.clips, args.seed, tmpdir), 2
     )
     print(f"pipeline (TTS+augment+featurize): {results['pipeline_clips_per_s']} clips/s")
+    results["pipeline_device_clips_per_s"] = round(
+        time_pipeline(args.clips, args.seed, tmpdir, backend="formant-device"), 2
+    )
+    print(
+        "pipeline (device TTS): "
+        f"{results['pipeline_device_clips_per_s']} clips/s")
     results["featurize_clips_per_s"] = round(time_featurize(), 0)
     print(f"featurize only (device): {results['featurize_clips_per_s']} clips/s")
     results["train_steps_per_s"] = round(
@@ -183,10 +198,13 @@ def main() -> None:
     results["probe_wall_s"] = round(time.time() - t_all, 1)
 
     total_clips = sum(v for k, v in REF_SCALE.items() if k != "steps")
-    gen_s = total_clips / results["pipeline_clips_per_s"]
+    best_pipeline = max(
+        results["pipeline_clips_per_s"], results["pipeline_device_clips_per_s"])
+    gen_s = total_clips / best_pipeline
     train_s = REF_SCALE["steps"] / results["train_steps_per_s"]
     results["extrapolated"] = {
         "total_clips": total_clips,
+        "pipeline_clips_per_s": best_pipeline,
         "feature_generation_s": round(gen_s, 0),
         "training_s": round(train_s, 0),
         "end_to_end_s": round(gen_s + train_s, 0),
@@ -213,12 +231,16 @@ on an A100. Measured on one TPU v5e chip (axon tunnel) + one host core.
 
 | Stage | Rate | Notes |
 |---|---|---|
-| TTS synthesis (host, formant) | {r['tts_clips_per_s']} clips/s | single host core, the live offline backend |
-| TTS -> augment -> featurize pipeline | {r['pipeline_clips_per_s']} clips/s | production path; device work overlaps host TTS (double-buffered) |
+| TTS synthesis (host, formant) | {r['tts_clips_per_s']} clips/s | single host core, the host numpy renderer |
+| TTS synthesis (formant-device) | {r['tts_device_clips_per_s']} clips/s | host plans, TPU renders (models/formant_device.py) |
+| TTS -> augment -> featurize pipeline (host TTS) | {r['pipeline_clips_per_s']} clips/s | device work overlaps host TTS (double-buffered) |
+| TTS -> augment -> featurize pipeline (device TTS) | {r['pipeline_device_clips_per_s']} clips/s | production path with the formant-device backend |
 | featurize only (device) | {r['featurize_clips_per_s']:.0f} clips/s | fused Pallas path (bench.py) |
 | training steps (50+50+1000 batch) | {r['train_steps_per_s']} steps/s | jitted masked-mining step |
 
 ## Extrapolation to the reference default scale
+
+Using the best measured pipeline rate ({e['pipeline_clips_per_s']} clips/s):
 
 | Phase | Time |
 |---|---|
@@ -226,15 +248,15 @@ on an A100. Measured on one TPU v5e chip (axon tunnel) + one host core.
 | training (15,000 steps) | {e['training_s']:.0f} s |
 | **end-to-end** | **{e['end_to_end_s']:.0f} s ({e['end_to_end_h']} h)** |
 
-The pipeline is **host-bound**: the device featurizes
+With the host backend the pipeline is **host-bound**: the device featurizes
 {r['featurize_clips_per_s']:.0f} clips/s while the host synthesizes
-{r['tts_clips_per_s']} clips/s on its single core — and the full pipeline
-runs at roughly half the pure TTS rate because augmentation randomness,
-noise/IR preparation, and batch orchestration share that one core with TTS.
-Feature generation therefore scales with host cores (TTS and augment prep
-are embarrassingly parallel across cores on a multi-core production host; a
-Piper/VITS checkpoint running on-device would remove the host bottleneck
-entirely — the JAX VITS inference stack is ready).
+{r['tts_clips_per_s']} clips/s on its single core. The formant-device
+backend moves the rendering FLOPs onto the chip — the host keeps only
+phonemize/plan/track decimation — which is what the device-TTS rows measure.
+Residual host work (planning, augment orchestration, shard writes) scales
+with host cores on a multi-core production machine; a Piper/VITS checkpoint
+running on-device would replace the planner entirely (the JAX VITS inference
+stack is ready).
 
 Reference comparison: the reference publishes no end-to-end numbers
 (BASELINE.md). Its pipeline on an A100 pays GPU VITS TTS (its README

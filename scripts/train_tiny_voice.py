@@ -276,13 +276,38 @@ def main() -> None:
             return 0.0
         return float(np.corrcoef(e_a, e_t)[0, 1])
 
+    def envelope_corr_paced(a: np.ndarray) -> float:
+        """Duration-invariant variant: the SDP's predicted pace drifts long
+        before the spectra do, so resample both mel trajectories to a common
+        64-frame time base and correlate those. This scores 'does the voice
+        say the right sounds in the right order', independent of tempo."""
+        if len(a) < 4 * HOP:
+            return 0.0
+        m_a = mel_envelope(a)
+        m_t = mel_envelope(target)
+
+        def resample(m: np.ndarray, frames: int = 64) -> np.ndarray:
+            src = np.linspace(0.0, 1.0, m.shape[0])
+            dst = np.linspace(0.0, 1.0, frames)
+            return np.stack([np.interp(dst, src, m[:, k]) for k in range(m.shape[1])], 1)
+
+        e_a = resample(m_a).ravel()
+        e_t = resample(m_t).ravel()
+        if e_a.std() < 1e-6 or e_t.std() < 1e-6:
+            return 0.0
+        return float(np.corrcoef(e_a, e_t)[0, 1])
+
     init_p = {
         "gen": init_params(k_g, cfg),
         "post": params["post"],
         "sdp_post": params["sdp_post"],
     }
-    corr_init = envelope_corr(infer_audio(init_p))
-    corr_trained = envelope_corr(infer_audio(params))
+    audio_init = infer_audio(init_p)
+    audio_trained = infer_audio(params)
+    corr_init = envelope_corr(audio_init)
+    corr_trained = envelope_corr(audio_trained)
+    paced_init = envelope_corr_paced(audio_init)
+    paced_trained = envelope_corr_paced(audio_trained)
 
     first = float(np.mean([x[0] for x in first_losses]))
     last = float(np.mean([x[0] for x in last_losses[-20:]]))
@@ -299,6 +324,11 @@ def main() -> None:
         "recon_last20": round(recon_last, 4),
         "mel_envelope_corr_init": round(corr_init, 3),
         "mel_envelope_corr_trained": round(corr_trained, 3),
+        "mel_paced_corr_init": round(paced_init, 3),
+        "mel_paced_corr_trained": round(paced_trained, 3),
+        "infer_samples_init": int(len(audio_init)),
+        "infer_samples_trained": int(len(audio_trained)),
+        "target_samples": int(len(target)),
     }
     save_params(params, args.out)
     with open(args.metrics_out, "w") as f:

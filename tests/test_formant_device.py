@@ -139,6 +139,17 @@ def test_device_backend_via_tts_contract():
         assert np.abs(pcm).max() > 8000  # peak-normalized int16
 
 
+def test_get_tts_model_caches_per_backend():
+    from heybuddy_tpu.models import tts as tts_mod
+
+    host = tts_mod.get_tts_model(backend="formant")
+    dev = tts_mod.get_tts_model(backend="formant-device")
+    assert isinstance(host, tts_mod.FormantTTS)
+    assert isinstance(dev, tts_mod.DeviceFormantTTS)
+    assert tts_mod.get_tts_model(backend="device") is dev
+    assert tts_mod.get_tts_model(backend="formant") is host
+
+
 def test_default_harmonics_cover_nyquist():
     # lowest speaker f0 is ~85 Hz after declination; DEFAULT_HARMONICS must
     # reach the 8 kHz band edge for the brightest fricative-adjacent vowels
