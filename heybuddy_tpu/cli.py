@@ -328,7 +328,7 @@ def combine(
 @click.option("--testing-positive-samples", type=int, default=DEFAULT_TESTING_POSITIVE_SAMPLES)
 @click.option("--testing-adversarial-samples", type=int, default=DEFAULT_TESTING_ADVERSARIAL_SAMPLES)
 @click.option("--checkpoint-dir", type=str, default="./checkpoints", show_default=True)
-@click.option("--tts-backend", type=click.Choice(["vits", "formant"]), default=None,
+@click.option("--tts-backend", type=click.Choice(["vits", "formant", "formant-device"]), default=None,
               help="TTS backend override (default: vits when a checkpoint is configured).")
 @click.option("--mesh/--no-mesh", "use_mesh", default=True, is_flag=True,
               help="Shard training batches across all visible accelerator chips.")
@@ -570,7 +570,7 @@ def convert(checkpoint: str, output: Optional[str], opset_version: int, debug: b
 @click.option("--batch-size", type=int, default=64, show_default=True)
 @click.option("--learning-rate", type=float, default=1e-3, show_default=True)
 @click.option("--temperature", type=float, default=0.1, show_default=True)
-@click.option("--tts-backend", type=click.Choice(["vits", "formant"]), default=None)
+@click.option("--tts-backend", type=click.Choice(["vits", "formant", "formant-device"]), default=None)
 @click.option("--adversarial-fraction", type=float, default=0.0, show_default=True,
               help="Fraction of the text pool built as phonetic-neighbor "
                    "clusters (base phrase + 3 near-collisions) so in-batch "

@@ -249,13 +249,13 @@ class TrainingFeaturesGenerator:
         os.makedirs(self.directory, exist_ok=True)
         path = os.path.join(self.directory, f"{name}.npy")
 
-        from heybuddy_tpu.data.space import check_cache_space, write_space_sidecar
+        from heybuddy_tpu.data.space import active_space, check_cache_space, write_space_sidecar
 
-        if os.path.exists(path) and (not self.use_cache or not check_cache_space(path)):
+        if os.path.exists(path) and (not self.use_cache or not check_cache_space(path, self.tts_backend)):
             os.remove(path)
 
         store = AppendableNpyFile(path)
-        write_space_sidecar(path)
+        write_space_sidecar(path, active_space(self.tts_backend))
         existing = len(store)
         if existing < num_samples:
             missing = num_samples - existing
@@ -357,12 +357,12 @@ class TrainingFeaturesGenerator:
         os.makedirs(self.directory, exist_ok=True)
         path = os.path.join(self.directory, f"{name}.npy")
 
-        from heybuddy_tpu.data.space import check_cache_space, write_space_sidecar
+        from heybuddy_tpu.data.space import active_space, check_cache_space, write_space_sidecar
 
-        if os.path.exists(path) and (not self.use_cache or not check_cache_space(path)):
+        if os.path.exists(path) and (not self.use_cache or not check_cache_space(path, self.tts_backend)):
             os.remove(path)
         store = AppendableNpyFile(path)
-        write_space_sidecar(path)
+        write_space_sidecar(path, active_space(self.tts_backend))
         existing = len(store)
         if existing < num_samples:
             missing = num_samples - existing
@@ -438,12 +438,12 @@ class TrainingFeaturesGenerator:
         os.makedirs(self.directory, exist_ok=True)
         path = os.path.join(self.directory, f"{name}.npy")
 
-        from heybuddy_tpu.data.space import check_cache_space, write_space_sidecar
+        from heybuddy_tpu.data.space import active_space, check_cache_space, write_space_sidecar
 
-        if os.path.exists(path) and (not self.use_cache or not check_cache_space(path)):
+        if os.path.exists(path) and (not self.use_cache or not check_cache_space(path, self.tts_backend)):
             os.remove(path)
         store = AppendableNpyFile(path)
-        write_space_sidecar(path)
+        write_space_sidecar(path, active_space(self.tts_backend))
         existing = len(store)
         if existing < num_samples:
             missing = num_samples - existing
@@ -528,12 +528,12 @@ class TrainingFeaturesGenerator:
         path = os.path.join(self.directory, f"{name}.npy")
 
         from heybuddy_tpu.constants import CLIP_SAMPLES
-        from heybuddy_tpu.data.space import check_cache_space, write_space_sidecar
+        from heybuddy_tpu.data.space import active_space, check_cache_space, write_space_sidecar
 
-        if os.path.exists(path) and (not self.use_cache or not check_cache_space(path)):
+        if os.path.exists(path) and (not self.use_cache or not check_cache_space(path, self.tts_backend)):
             os.remove(path)
         store = AppendableNpyFile(path)
-        write_space_sidecar(path)
+        write_space_sidecar(path, active_space(self.tts_backend))
         existing = len(store)
         if existing < num_samples:
             missing = num_samples - existing
@@ -592,12 +592,12 @@ class TrainingFeaturesGenerator:
         os.makedirs(self.directory, exist_ok=True)
         path = os.path.join(self.directory, f"{name}.npy")
 
-        from heybuddy_tpu.data.space import check_cache_space, write_space_sidecar
+        from heybuddy_tpu.data.space import active_space, check_cache_space, write_space_sidecar
 
-        if os.path.exists(path) and not check_cache_space(path):
+        if os.path.exists(path) and not check_cache_space(path, self.tts_backend):
             os.remove(path)
         store = AppendableNpyFile(path)
-        write_space_sidecar(path)
+        write_space_sidecar(path, active_space(self.tts_backend))
         existing = len(store)
         if existing < num_samples:
             from heybuddy_tpu.data.tts_generator import SpeechSampleGenerator

@@ -64,6 +64,35 @@ def test_legacy_cache_without_sidecar_is_stamped(tmp_path, fresh_embeddings):
     assert read_space_sidecar(path) == active_space()
 
 
+def test_tts_provenance_invalidates_cache(tmp_path, fresh_embeddings, monkeypatch):
+    """Same embedding space, different synthesis source -> stale."""
+    from heybuddy_tpu.data.space import active_space, check_cache_space, write_space_sidecar
+
+    monkeypatch.delenv("HEYBUDDY_KEEP_STALE_FEATURES", raising=False)
+    path = str(tmp_path / "feats.npy")
+    np.save(path, np.zeros((2, 16, 96), np.float32))
+    write_space_sidecar(path, active_space("formant"))
+    assert check_cache_space(path, "formant")
+    assert not check_cache_space(path, "formant-device")
+    write_space_sidecar(path, active_space("formant-device"))
+    assert check_cache_space(path, "formant-device")
+
+
+def test_legacy_sidecar_without_tts_field(tmp_path, fresh_embeddings, monkeypatch):
+    """Pre-provenance sidecars were all host-formant v2: valid for the default
+    backend, stale for the device backend."""
+    from heybuddy_tpu.data.space import active_space, check_cache_space, write_space_sidecar
+
+    monkeypatch.delenv("HEYBUDDY_KEEP_STALE_FEATURES", raising=False)
+    monkeypatch.delenv("HEYBUDDY_TTS_BACKEND", raising=False)
+    path = str(tmp_path / "feats.npy")
+    np.save(path, np.zeros((2, 16, 96), np.float32))
+    legacy = {k: v for k, v in active_space().items() if k != "tts"}
+    write_space_sidecar(path, legacy)
+    assert check_cache_space(path)
+    assert not check_cache_space(path, "formant-device")
+
+
 def test_hosted_sets_disabled_for_trunkpool(fresh_embeddings, monkeypatch):
     monkeypatch.delenv("HEYBUDDY_ALLOW_SPACE_MISMATCH", raising=False)
     from heybuddy_tpu.data.space import hosted_sets_compatible
