@@ -144,7 +144,15 @@ class SpeechSampleGenerator:
         return Dataset.from_generator(generate, features=features)
 
     def __call__(self, num_samples: int, **kwargs: Any) -> Iterator[Dict[str, Any]]:
-        """Yield ``{"audio": {"array", "sampling_rate"}, "phrase"}`` samples."""
+        """Yield ``{"audio": {"array", "sampling_rate"}, "phrase"}`` samples.
+
+        Generation is chunked one batch per model call to bound host RAM, and
+        the model restarts its speaker/settings grids per call, so the grid
+        offsets MUST advance with the batch index — without them every batch
+        rendered speaker pair (0, 0) at the first settings tuple, flattening
+        all TTS diversity out of every feature cache (found round 3; the same
+        iterator-restart contract previously collapsed embeddings v1-v5).
+        """
         texts = self.get_texts()
         total_batches = int(np.ceil(num_samples / self.batch_size))
         generated = 0
@@ -161,6 +169,8 @@ class SpeechSampleGenerator:
                 max_speakers=self.max_speakers,
                 target_sample_rate=self.target_sample_rate,
                 seed=None if self.seed is None else self.seed + i,
+                settings_offset=i,
+                speakers_offset=i * self.batch_size,
             ):
                 generated += 1
                 yield {

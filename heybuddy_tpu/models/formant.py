@@ -503,12 +503,20 @@ class FormantSynthesizer:
         length_scale: float = 1.0,
         noise_scale: float = 0.667,
         seed: Optional[int] = None,
+        speaker_params: Optional[Tuple[float, float]] = None,
     ) -> np.ndarray:
-        """Synthesize ``text`` to a float32 waveform in [-1, 1]."""
+        """Synthesize ``text`` to a float32 waveform in [-1, 1].
+
+        ``speaker_params``: explicit (f0 base Hz, vocal-tract scale),
+        overriding the ``speaker``-derived voice — the formant equivalent of
+        the reference's slerp-interpolated VITS speaker embeddings
+        (pretrained.py:359-368): callers blend two speakers' params and pass
+        the result here.
+        """
         if seed is None:
             seed = int.from_bytes(hashlib.md5(text.encode()).digest()[:4], "little")
         rng = np.random.default_rng(seed + speaker * 7919)
-        f0, scale = self._speaker(speaker)
+        f0, scale = speaker_params or self._speaker(speaker)
         sr = self.sample_rate
 
         segments = self._plan(text, length_scale, noise_scale, rng)

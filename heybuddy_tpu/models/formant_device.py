@@ -115,15 +115,18 @@ class DeviceFormantPlanner:
         length_scale: float = 1.0,
         noise_scale: float = 0.667,
         seed: Optional[int] = None,
+        speaker_params: Optional[Tuple[float, float]] = None,
     ) -> Optional[ClipPlan]:
         """Build a device plan, or None when the clip needs the host fallback
-        (too long for the compiled shape, or too many noise segments)."""
+        (too long for the compiled shape, or too many noise segments).
+        ``speaker_params`` overrides the speaker-derived voice exactly like
+        ``FormantSynthesizer.synthesize``."""
         import hashlib
 
         if seed is None:
             seed = int.from_bytes(hashlib.md5(text.encode()).digest()[:4], "little")
         rng = np.random.default_rng(seed + speaker * 7919)
-        f0, scale = self.synth._speaker(speaker)
+        f0, scale = speaker_params or self.synth._speaker(speaker)
         sr = self.sample_rate
 
         segments = self.synth._plan(text, length_scale, noise_scale, rng)

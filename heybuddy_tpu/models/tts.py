@@ -57,6 +57,12 @@ __all__ = [
 
 TextsType = Union[str, List[str], List[Tuple[str, float]]]
 
+# Version of the sampling contract feeding feature caches (speaker/settings
+# grid traversal). Bumped in round 3 when chunked generation gained grid
+# offsets: before that, every chunk re-rendered speaker 0 at the grid's first
+# settings tuple, so caches produced under v1 are not reproducible under v2.
+SAMPLING_VERSION = 2
+
 # ARPAbet -> espeak-style IPA used by piper voices.
 _ARPA_TO_IPA: Dict[str, str] = {
     "AA": "ɑ", "AE": "æ", "AH": "ʌ", "AO": "ɔ", "AW": "aʊ", "AY": "aɪ",
@@ -122,8 +128,21 @@ class BaseTTS:
         trim_silence: bool = False,
         seed: Optional[int] = None,
         on_progress: Optional[Callable[[int, int], None]] = None,
+        settings_offset: int = 0,
+        speakers_offset: int = 0,
     ) -> List[Tuple[str, np.ndarray]]:
-        """Generate speech samples (reference pretrained.py:283-425 contract)."""
+        """Generate speech samples (reference pretrained.py:283-425 contract).
+
+        The speaker/settings grids restart at the given offsets on EVERY call
+        (offset 0 by default): a one-batch call with default offsets always
+        renders speaker pair (0, 0) at the first settings tuple. Callers that
+        chunk one logical generation into several calls MUST advance
+        ``settings_offset`` (one per batch) and ``speakers_offset`` (one per
+        clip) across calls, or every chunk re-renders the grid's first row —
+        the speaker-collapse bug that silently flattened all pre-r3 feature
+        caches to speaker 0 (and embeddings v1-v5 before it, see
+        ``SpeechSampleGenerator.__call__``).
+        """
         if not isinstance(texts, list):
             texts = [texts]
         weighted: List[Tuple[str, float]] = [
@@ -137,11 +156,11 @@ class BaseTTS:
         if max_speakers is not None:
             n_speakers = min(n_speakers, max_speakers)
 
-        settings_iterator = itertools.cycle(
+        # Grids as index math (reference pretrained.py's cycling iterators,
+        # but stateless): position p of the speaker grid is the pair
+        # (p // n, p % n); settings tuple b of the product grid likewise.
+        settings_grid = list(
             itertools.product(slerp_weights, length_scales, noise_scales, noise_scale_ws)
-        )
-        speakers_iterator = itertools.cycle(
-            itertools.product(range(n_speakers), range(n_speakers))
         )
         rng = random.Random(seed)
 
@@ -153,8 +172,14 @@ class BaseTTS:
 
         for i in range(num_batches):
             this_batch = max(min(batch_size, num_samples - i * batch_size), 1)
-            speakers = list(itertools.islice(speakers_iterator, this_batch))
-            slerp_weight, length_scale, noise_scale, noise_scale_w = next(settings_iterator)
+            base = speakers_offset + i * batch_size
+            speakers = [
+                (((base + j) // n_speakers) % n_speakers, (base + j) % n_speakers)
+                for j in range(this_batch)
+            ]
+            slerp_weight, length_scale, noise_scale, noise_scale_w = settings_grid[
+                (settings_offset + i) % len(settings_grid)
+            ]
             batch_texts = rng.choices(phrases, weights=probabilities, k=this_batch)
 
             audio_batch = self.synthesize_batch(
@@ -184,6 +209,13 @@ class BaseTTS:
         if on_progress is not None:
             on_progress(num_samples, num_samples)
         return samples
+
+
+def _blend_speaker_params(synth: Any, s1: int, s2: int, w: float) -> Tuple[float, float]:
+    """Interpolate two formant speakers' (f0 base, vocal-tract scale)."""
+    fa, sa = synth._speaker(s1)
+    fb, sb = synth._speaker(s2)
+    return (fa * (1.0 - w) + fb * w, sa * (1.0 - w) + sb * w)
 
 
 class FormantTTS(BaseTTS):
@@ -220,20 +252,30 @@ class FormantTTS(BaseTTS):
         noise_scale_w: float,
         seed: int,
     ) -> List[np.ndarray]:
-        # slerp between speakers approximated by blending speaker seeds
+        # True speaker interpolation (the formant analogue of the reference's
+        # VITS embedding slerp, pretrained.py:359-368): blend the two
+        # speakers' (f0, vocal-tract scale) by the slerp weight, so the s2
+        # grid axis varies the voice even at intermediate weights. The old
+        # nearest-speaker pick collapsed to s1=0 whenever slerp < 0.5.
         tasks = [
-            (text, s1 if slerp_weight < 0.5 else s2, seed * 31 + j)
+            (
+                text,
+                s1 * 104729 + s2,
+                _blend_speaker_params(self.synth, s1, s2, slerp_weight),
+                seed * 31 + j,
+            )
             for j, (text, (s1, s2)) in enumerate(zip(texts, speakers))
         ]
 
-        def render(task: Tuple[str, int, int]) -> np.ndarray:
-            text, speaker, clip_seed = task
+        def render(task: Tuple[str, int, Tuple[float, float], int]) -> np.ndarray:
+            text, speaker, params, clip_seed = task
             return self.synth.synthesize(
                 text,
                 speaker=speaker,
                 length_scale=length_scale,
                 noise_scale=noise_scale,
                 seed=clip_seed,
+                speaker_params=params,
             )
 
         # Host TTS is the end-to-end pipeline's bottleneck (END_TO_END.md) and
@@ -304,14 +346,20 @@ class DeviceFormantTTS(BaseTTS):
         from heybuddy_tpu.models.formant_device import render_batch
 
         tasks = [
-            (text, s1 if slerp_weight < 0.5 else s2, seed * 31 + j)
+            (
+                text,
+                s1 * 104729 + s2,
+                _blend_speaker_params(self._host, s1, s2, slerp_weight),
+                seed * 31 + j,
+            )
             for j, (text, (s1, s2)) in enumerate(zip(texts, speakers))
         ]
         plans = [
             self.planner.plan(
                 text, speaker=speaker, length_scale=length_scale,
-                noise_scale=noise_scale, seed=clip_seed)
-            for text, speaker, clip_seed in tasks
+                noise_scale=noise_scale, seed=clip_seed,
+                speaker_params=params)
+            for text, speaker, params, clip_seed in tasks
         ]
         device_idx = [i for i, p in enumerate(plans) if p is not None]
         rendered = render_batch(
@@ -325,10 +373,11 @@ class DeviceFormantTTS(BaseTTS):
             out[i] = clip
         for i, plan in enumerate(plans):
             if plan is None:
-                text, speaker, clip_seed = tasks[i]
+                text, speaker, params, clip_seed = tasks[i]
                 out[i] = self._host.synthesize(
                     text, speaker=speaker, length_scale=length_scale,
-                    noise_scale=noise_scale, seed=clip_seed)
+                    noise_scale=noise_scale, seed=clip_seed,
+                    speaker_params=params)
         return [clip for clip in out if clip is not None]
 
 

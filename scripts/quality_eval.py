@@ -134,12 +134,14 @@ def _cached_stream(kind: str, minutes: float, seed: int, build) -> np.ndarray:
     so they are reusable across configs/embeddings/rounds (VERDICT r2 #3).
     Keyed on the formant version so synthesizer changes invalidate."""
     from heybuddy_tpu.models.formant import FORMANT_VERSION
+    from heybuddy_tpu.models.tts import SAMPLING_VERSION
 
     if not _STREAM_CACHE_DIR:
         return build()
     os.makedirs(_STREAM_CACHE_DIR, exist_ok=True)
     path = os.path.join(
-        _STREAM_CACHE_DIR, f"{kind}-v{FORMANT_VERSION}-{minutes:g}m-{seed}.npy"
+        _STREAM_CACHE_DIR,
+        f"{kind}-v{FORMANT_VERSION}.{SAMPLING_VERSION}-{minutes:g}m-{seed}.npy",
     )
     if os.path.exists(path):
         return np.load(path)

@@ -79,8 +79,9 @@ def test_tts_provenance_invalidates_cache(tmp_path, fresh_embeddings, monkeypatc
 
 
 def test_legacy_sidecar_without_tts_field(tmp_path, fresh_embeddings, monkeypatch):
-    """Pre-provenance sidecars were all host-formant v2: valid for the default
-    backend, stale for the device backend."""
+    """Pre-provenance sidecars were all produced under sampling v1 (the
+    speaker-collapse traversal), so they are stale for EVERY current backend
+    and regenerate."""
     from heybuddy_tpu.data.space import active_space, check_cache_space, write_space_sidecar
 
     monkeypatch.delenv("HEYBUDDY_KEEP_STALE_FEATURES", raising=False)
@@ -89,6 +90,9 @@ def test_legacy_sidecar_without_tts_field(tmp_path, fresh_embeddings, monkeypatc
     np.save(path, np.zeros((2, 16, 96), np.float32))
     legacy = {k: v for k, v in active_space().items() if k != "tts"}
     write_space_sidecar(path, legacy)
+    assert not check_cache_space(path)
+    np.save(path, np.zeros((2, 16, 96), np.float32))
+    write_space_sidecar(path)  # current provenance
     assert check_cache_space(path)
     assert not check_cache_space(path, "formant-device")
 

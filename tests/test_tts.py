@@ -82,6 +82,79 @@ def test_speech_sample_generator_yields_audio_dicts():
         assert "phrase" in sample
 
 
+def test_sample_generator_traverses_speaker_and_settings_grids():
+    """Chunked generation must advance the TTS grids across batches: without
+    the offsets every batch rendered speaker pair (0, 0) at the first settings
+    tuple, flattening all speaker/prosody diversity out of feature caches
+    (round-3 root cause; grid traversal must match one long single call)."""
+    calls = []
+    orig = FormantTTS.synthesize_batch
+
+    def spy(self, texts, speakers, slerp_weight, length_scale,
+            noise_scale, noise_scale_w, seed):
+        calls.append((list(speakers), slerp_weight, length_scale, noise_scale))
+        return orig(self, texts, speakers, slerp_weight, length_scale,
+                    noise_scale, noise_scale_w, seed)
+
+    import heybuddy_tpu.models.tts as tts_mod
+
+    old = tts_mod.FormantTTS.synthesize_batch
+    tts_mod.FormantTTS.synthesize_batch = spy
+    try:
+        gen = SpeechSampleGenerator(
+            "hey buddy", batch_size=4, seed=0, tts_backend="formant",
+            phrase_augment_prob=0.0,
+        )
+        for _ in gen(24):
+            pass
+    finally:
+        tts_mod.FormantTTS.synthesize_batch = old
+
+    import itertools
+
+    from heybuddy_tpu.constants import (
+        DEFAULT_TTS_LENGTH_SCALES,
+        DEFAULT_TTS_NOISE_SCALE_WEIGHTS,
+        DEFAULT_TTS_NOISE_SCALES,
+        DEFAULT_TTS_SLERP_WEIGHTS,
+    )
+
+    grid = list(itertools.product(
+        DEFAULT_TTS_SLERP_WEIGHTS, DEFAULT_TTS_LENGTH_SCALES,
+        DEFAULT_TTS_NOISE_SCALES, DEFAULT_TTS_NOISE_SCALE_WEIGHTS,
+    ))
+    assert len(calls) == 6
+    for i, (speakers, slerp, length_scale, noise_scale) in enumerate(calls):
+        # batch i renders settings tuple i and speaker pairs 4i..4i+3 —
+        # exactly the traversal one long uninterrupted call would produce
+        assert (slerp, length_scale, noise_scale) == grid[i][:3]
+        assert speakers == [((4 * i + j) // 904 % 904, (4 * i + j) % 904)
+                            for j in range(4)]
+    settings = {(sl, ls, ns) for _, sl, ls, ns in calls}
+    assert len(settings) > 2, settings
+
+
+def test_formant_speaker_blending_varies_voice():
+    """slerp interpolation must make the s2 grid axis vary the rendered
+    voice (the old nearest-speaker pick collapsed every slerp<0.5 batch to
+    s1, and s1 advances only once per 904 clips)."""
+    from heybuddy_tpu.models.tts import _blend_speaker_params
+
+    tts = FormantTTS(num_speakers=904)
+    params = {
+        s2: _blend_speaker_params(tts.synth, 0, s2, 0.25) for s2 in range(6)
+    }
+    f0s = {round(p[0], 3) for p in params.values()}
+    assert len(f0s) > 3, f0s  # distinct voices even at slerp 0.25
+    # and the rendered audio differs across s2 at fixed s1/settings/seed
+    batch = tts.synthesize_batch(
+        ["hey buddy"] * 3, [(0, 1), (0, 2), (0, 3)],
+        slerp_weight=0.25, length_scale=1.0, noise_scale=0.667,
+        noise_scale_w=1.0, seed=5,
+    )
+    assert not np.allclose(batch[0][: len(batch[1])], batch[1][: len(batch[0])])
+
+
 def test_adversarial_generator_texts_exclude_phrase():
     gen = SpeechSampleGenerator(
         "hey buddy", adversarial=True, num_adversarial_texts=6, seed=1, tts_backend="formant"
