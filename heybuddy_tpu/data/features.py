@@ -210,6 +210,134 @@ class TrainingFeaturesGenerator:
             written += drain(pending)
         return written
 
+    def _fused_banks(self):
+        """HBM-resident noise/impulse banks for the fused device pipeline,
+        built once: per-batch host noise synthesis + upload is what caps the
+        classic pipeline's throughput on a slow host link."""
+        if not hasattr(self, "_fused_bank_arrays"):
+            import jax
+
+            bank = int(os.environ.get("HEYBUDDY_NOISE_BANK", "512"))
+            if self.augment_config.background_noise_prob > 0:
+                noise = self.noise_provider.noise_batch(
+                    bank, self.augment_config.target_samples)
+            else:
+                noise = np.zeros((1, self.augment_config.target_samples), np.float32)
+            if self.augment_config.reverb_prob > 0:
+                impulse = self.noise_provider.impulse_batch(bank)
+            else:
+                impulse = np.zeros((1, 256), np.float32)
+            self._fused_bank_arrays = (
+                jax.device_put(noise), jax.device_put(impulse))
+        return self._fused_bank_arrays
+
+    def _featurize_plan_stream(
+        self,
+        samples: Iterator[Dict[str, Any]],
+        pad_only: bool,
+        store: AppendableNpyFile,
+        limit: int,
+        seed_offset: int = 0,
+        config: Optional[AugmentConfig] = None,
+    ) -> int:
+        """Fused device path: ClipPlan samples render+augment+featurize in one
+        compiled program per batch; audio never round-trips the host (the
+        host streams ~18 KB of decimated tracks per clip and reads back
+        6 KB of features). Host-rendered fallback samples (clips the device
+        cannot express) are batched through the classic path at the end.
+        """
+        import jax
+
+        from heybuddy_tpu.models.featurizer import get_speech_embeddings
+        from heybuddy_tpu.models.formant_device import fused_features_batch
+        from heybuddy_tpu.models.tts import get_tts_model
+
+        embeddings = get_speech_embeddings()
+        tts = get_tts_model(backend=self.tts_backend)
+        noise_bank, impulse_bank = self._fused_banks()
+        cfg = config or self.augment_config
+        # Disjoint from the classic augmenter's fold_in(seed, batch_index)
+        # namespace so mixed fused/fallback runs never reuse augment draws.
+        base_key = jax.random.fold_in(
+            jax.random.PRNGKey(self.seed + seed_offset), 777)
+        batch_size = self.augment_batch_size
+        written = 0
+        batch_index = 0
+        plans: List[Any] = []
+        fallback: List[Dict[str, Any]] = []
+        pending: Optional[Any] = None
+
+        def drain(p: Any) -> int:
+            nonlocal written
+            device_arr, n_real = p
+            take = min(n_real, limit - written)
+            if take <= 0:
+                return 0
+            feats = np.asarray(device_arr)[:take]
+            if np.isnan(feats).any():
+                from heybuddy_tpu.models.featurizer import SpeechEmbeddings
+
+                feats = SpeechEmbeddings._repair_nan(feats)
+            store.append(feats.astype(np.float32))
+            return take
+
+        def dispatch(batch_plans: List[Any], index: int) -> Any:
+            return fused_features_batch(
+                batch_plans,
+                embeddings.params,
+                jax.random.fold_in(base_key, index),
+                noise_bank,
+                impulse_bank,
+                cfg,
+                pad_only=pad_only,
+                l_max=tts.planner.max_samples,
+                harmonics=tts.harmonics,
+                clip_samples=cfg.target_samples,
+                pad_to=batch_size,
+            )
+
+        for sample in samples:
+            if "plan" in sample:
+                plans.append(sample["plan"])
+            else:
+                fallback.append(sample)
+            if len(plans) >= batch_size:
+                dispatched = dispatch(plans, batch_index)
+                plans = []
+                batch_index += 1
+                if pending is not None:
+                    written += drain(pending)
+                pending = dispatched
+                if written >= limit:
+                    pending = None
+                    break
+        if plans and (pending is None or written < limit):
+            if pending is not None:
+                written += drain(pending)
+                pending = None
+            if written < limit:
+                written += drain(dispatch(plans, batch_index))
+        elif pending is not None:
+            written += drain(pending)
+        if fallback and written < limit:
+            written += self._featurize_stream(
+                iter(fallback), pad_only=pad_only, store=store,
+                limit=limit - written, seed_offset=seed_offset, config=config,
+            )
+        return written
+
+    def _use_fused_pipeline(self) -> bool:
+        """Fused plans->features path: device TTS backend + native embedding
+        (the imported-ONNX featurizer uses a different apply path)."""
+        if os.environ.get("HEYBUDDY_FUSED_TTS", "1") == "0":
+            return False
+        resolved = self.tts_backend or os.environ.get("HEYBUDDY_TTS_BACKEND")
+        if resolved not in ("formant-device", "device"):
+            return False
+        from heybuddy_tpu.models.featurizer import get_speech_embeddings
+
+        return get_speech_embeddings().backend == "trunkpool"
+
     def generate(
         self,
         num_samples: int,
@@ -232,6 +360,11 @@ class TrainingFeaturesGenerator:
             **generator_kwargs,
         )
         assert store is not None
+        if self._use_fused_pipeline():
+            return self._featurize_plan_stream(
+                speech(num_samples, yield_plans=True), pad_only=pad_only,
+                store=store, limit=num_samples, seed_offset=seed_offset,
+            )
         return self._featurize_stream(
             speech(num_samples), pad_only=pad_only, store=store, limit=num_samples,
             seed_offset=seed_offset,

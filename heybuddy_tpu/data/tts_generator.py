@@ -143,8 +143,12 @@ class SpeechSampleGenerator:
 
         return Dataset.from_generator(generate, features=features)
 
-    def __call__(self, num_samples: int, **kwargs: Any) -> Iterator[Dict[str, Any]]:
-        """Yield ``{"audio": {"array", "sampling_rate"}, "phrase"}`` samples.
+    def __call__(self, num_samples: int, yield_plans: bool = False,
+                 **kwargs: Any) -> Iterator[Dict[str, Any]]:
+        """Yield ``{"audio": {"array", "sampling_rate"}, "phrase"}`` samples;
+        with ``yield_plans=True`` (device TTS backends), ``{"plan", "phrase"}``
+        dicts for the fused device pipeline — clips the device cannot express
+        arrive as float32 audio dicts instead, so consumers must handle both.
 
         Generation is chunked one batch per model call to bound host RAM, and
         the model restarts its speaker/settings grids per call, so the grid
@@ -171,12 +175,16 @@ class SpeechSampleGenerator:
                 seed=None if self.seed is None else self.seed + i,
                 settings_offset=i,
                 speakers_offset=i * self.batch_size,
+                as_plans=yield_plans,
             ):
                 generated += 1
-                yield {
-                    "audio": {
-                        "array": audio,
-                        "sampling_rate": self.target_sample_rate,
-                    },
-                    "phrase": text,
-                }
+                if yield_plans and not isinstance(audio, np.ndarray):
+                    yield {"plan": audio, "phrase": text}
+                else:
+                    yield {
+                        "audio": {
+                            "array": audio,
+                            "sampling_rate": self.target_sample_rate,
+                        },
+                        "phrase": text,
+                    }

@@ -370,21 +370,70 @@ def _jitted_render(l_max: int, harmonics: int, sample_rate: int):
         _render_impl, l_max=l_max, harmonics=harmonics, sample_rate=sample_rate))
 
 
-def render_batch(
-    plans: List[ClipPlan],
-    l_max: int = DEFAULT_MAX_SAMPLES,
-    harmonics: int = DEFAULT_HARMONICS,
-    sample_rate: int = SAMPLE_RATE,
-    pad_to: Optional[int] = None,
-) -> List[np.ndarray]:
-    """Render clip plans on the default device -> float32 waveforms in [-1, 1].
+def _center_place(clip, lengths, target: int):
+    """(B, target) left-aligned clips -> centered (the pad-only validation
+    placement, matching AugmentedAudioGenerator.execute_augment_batch)."""
+    import jax.numpy as jnp
 
-    ``pad_to`` pads the batch dimension so tail batches reuse the compiled
-    program (a new batch shape is a fresh 40-500 s remote compile on the
-    tunneled TPU).
+    offset = (target - lengths) // 2
+    idx = jnp.arange(target)[None, :] - offset[:, None]
+    valid = (idx >= 0) & (idx < lengths[:, None])
+    gathered = jnp.take_along_axis(clip, jnp.clip(idx, 0, target - 1), axis=1)
+    return jnp.where(valid, gathered, 0.0)
+
+
+def _fused_features_impl(tracks, table, scale, noise_scale, length, seeds,
+                         noise_bank, impulse_bank, aug_key, params,
+                         *, l_max: int, harmonics: int, sample_rate: int,
+                         clip_samples: int, config: Any, pad_only: bool):
+    """plans -> (B, n_windows, 96) features with audio never leaving HBM:
+    render -> (augment | center-place) -> featurize in ONE compiled program.
+
+    The synthesized waveform is rescaled from the renderer's +-0.7 peak to
+    the +-1.0 peak the augment chain sees from the host path (int16
+    peak-normalization there). Background noise/impulses come from an
+    HBM-resident bank: rows are chosen per clip from ``aug_key`` (fold paths
+    1000/1001, disjoint from augment_batch's internal split(12)).
     """
-    if not plans:
-        return []
+    import jax
+    import jax.numpy as jnp
+
+    from heybuddy_tpu.models.featurizer import featurize_batch
+    from heybuddy_tpu.ops.augment import augment_batch
+
+    audio = _render_impl(tracks, table, scale, noise_scale, length, seeds,
+                         l_max=l_max, harmonics=harmonics,
+                         sample_rate=sample_rate)
+    clip = audio[:, :clip_samples] * (1.0 / 0.7)
+    lengths = jnp.minimum(length, clip_samples)
+    if pad_only:
+        staged = _center_place(clip, lengths, clip_samples)
+    else:
+        b = clip.shape[0]
+        rows_n = jax.random.randint(
+            jax.random.fold_in(aug_key, 1000), (b,), 0, noise_bank.shape[0])
+        rows_i = jax.random.randint(
+            jax.random.fold_in(aug_key, 1001), (b,), 0, impulse_bank.shape[0])
+        staged = augment_batch(
+            aug_key, clip, lengths, noise_bank[rows_n], impulse_bank[rows_i],
+            config)
+    return featurize_batch(params, staged * 32767.0)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_fused_features(l_max: int, harmonics: int, sample_rate: int,
+                           clip_samples: int, config: Any, pad_only: bool):
+    import jax
+
+    return jax.jit(functools.partial(
+        _fused_features_impl, l_max=l_max, harmonics=harmonics,
+        sample_rate=sample_rate, clip_samples=clip_samples, config=config,
+        pad_only=pad_only))
+
+
+def pack_plans(plans: List[ClipPlan], l_max: int, pad_to: Optional[int] = None
+               ) -> Dict[str, np.ndarray]:
+    """Batch ClipPlans into the device input arrays (padded to ``pad_to``)."""
     n = len(plans)
     b = max(pad_to or n, n)
     n_dec = l_max // TRACK_STRIDE + 1
@@ -405,10 +454,62 @@ def render_batch(
         noise_scale[i] = plan.noise_scale
         length[i] = plan.length
         seeds[i] = plan.clip_seed
-    # f0 of 0 on padding rows would make the phase integration degenerate
-    # but harmless (amp is 0); keep it nonzero anyway for clean numerics.
     tracks[n:, 0] = 100.0
+    return {
+        "tracks": tracks, "table": table, "scale": scale,
+        "noise_scale": noise_scale, "length": length, "seeds": seeds,
+    }
+
+
+def fused_features_batch(
+    plans: List[ClipPlan],
+    params: Any,
+    aug_key: Any,
+    noise_bank: Any,
+    impulse_bank: Any,
+    config: Any,
+    pad_only: bool = False,
+    l_max: int = DEFAULT_MAX_SAMPLES,
+    harmonics: int = DEFAULT_HARMONICS,
+    sample_rate: int = SAMPLE_RATE,
+    clip_samples: Optional[int] = None,
+    pad_to: Optional[int] = None,
+) -> Tuple[Any, int]:
+    """Dispatch one fused plans->features batch; returns (device array, n).
+
+    Asynchronous like ``SpeechEmbeddings.featurize_device``: the caller
+    materializes the previous batch's result while this one computes.
+    """
+    from heybuddy_tpu.constants import CLIP_SAMPLES
+
+    clip_samples = clip_samples or CLIP_SAMPLES
+    packed = pack_plans(plans, l_max, pad_to=pad_to)
+    fn = _jitted_fused_features(
+        l_max, harmonics, sample_rate, clip_samples, config, pad_only)
+    out = fn(packed["tracks"], packed["table"], packed["scale"],
+             packed["noise_scale"], packed["length"], packed["seeds"],
+             noise_bank, impulse_bank, aug_key, params)
+    return out, len(plans)
+
+
+def render_batch(
+    plans: List[ClipPlan],
+    l_max: int = DEFAULT_MAX_SAMPLES,
+    harmonics: int = DEFAULT_HARMONICS,
+    sample_rate: int = SAMPLE_RATE,
+    pad_to: Optional[int] = None,
+) -> List[np.ndarray]:
+    """Render clip plans on the default device -> float32 waveforms in [-1, 1].
+
+    ``pad_to`` pads the batch dimension so tail batches reuse the compiled
+    program (a new batch shape is a fresh 40-500 s remote compile on the
+    tunneled TPU).
+    """
+    if not plans:
+        return []
+    packed = pack_plans(plans, l_max, pad_to=pad_to)
     out = _jitted_render(l_max, harmonics, sample_rate)(
-        tracks, table, scale, noise_scale, length, seeds)
+        packed["tracks"], packed["table"], packed["scale"],
+        packed["noise_scale"], packed["length"], packed["seeds"])
     host = np.asarray(out)
-    return [host[i, : plans[i].length].astype(np.float32) for i in range(n)]
+    return [host[i, : plans[i].length].astype(np.float32) for i in range(len(plans))]

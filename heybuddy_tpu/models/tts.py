@@ -106,6 +106,24 @@ class BaseTTS:
     def num_speakers(self) -> int:
         raise NotImplementedError
 
+    def plan_batch(
+        self,
+        texts: List[str],
+        speakers: List[Tuple[int, int]],
+        slerp_weight: float,
+        length_scale: float,
+        noise_scale: float,
+        noise_scale_w: float,
+        seed: int,
+    ) -> List[Any]:
+        """Device ClipPlans for the fused pipeline (backends that support it)."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not support the fused plan pipeline")
+
+    @property
+    def supports_plans(self) -> bool:
+        return type(self).plan_batch is not BaseTTS.plan_batch
+
     # ---------------------------------------------------------------------------
 
     def trim_silence(self, sample: np.ndarray, threshold: float = 0.05) -> np.ndarray:
@@ -130,8 +148,14 @@ class BaseTTS:
         on_progress: Optional[Callable[[int, int], None]] = None,
         settings_offset: int = 0,
         speakers_offset: int = 0,
-    ) -> List[Tuple[str, np.ndarray]]:
+        as_plans: bool = False,
+    ) -> List[Tuple[str, Any]]:
         """Generate speech samples (reference pretrained.py:283-425 contract).
+
+        ``as_plans=True`` (backends implementing ``plan_batch``) returns
+        device ClipPlans — or host float32 audio for clips the device cannot
+        express — instead of int16 PCM; requires the native sample rate and
+        no silence trimming.
 
         The speaker/settings grids restart at the given offsets on EVERY call
         (offset 0 by default): a one-batch call with default offsets always
@@ -151,6 +175,9 @@ class BaseTTS:
         if num_samples is None:
             num_samples = len(weighted)
         target_sample_rate = target_sample_rate or self.sample_rate
+        if as_plans and (trim_silence or target_sample_rate != self.sample_rate):
+            raise ValueError(
+                "as_plans requires the native sample rate and trim_silence=False")
 
         n_speakers = self.num_speakers
         if max_speakers is not None:
@@ -181,6 +208,19 @@ class BaseTTS:
                 (settings_offset + i) % len(settings_grid)
             ]
             batch_texts = rng.choices(phrases, weights=probabilities, k=this_batch)
+
+            if as_plans:
+                # Fused-pipeline mode: ClipPlans (or host-rendered float32
+                # audio for inexpressible clips) without the int16
+                # postprocessing below — the device consumes plans directly.
+                for text, item in zip(batch_texts, self.plan_batch(
+                    batch_texts, speakers, slerp_weight, length_scale,
+                    noise_scale, noise_scale_w, seed=(seed or 0) * 100003 + i,
+                )):
+                    samples.append((text, item))
+                    if on_progress is not None:
+                        on_progress(len(samples), num_samples)
+                continue
 
             audio_batch = self.synthesize_batch(
                 batch_texts,
@@ -345,6 +385,35 @@ class DeviceFormantTTS(BaseTTS):
     ) -> List[np.ndarray]:
         from heybuddy_tpu.models.formant_device import render_batch
 
+        items = self.plan_batch(
+            texts, speakers, slerp_weight, length_scale, noise_scale,
+            noise_scale_w, seed)
+        device_idx = [i for i, p in enumerate(items) if not isinstance(p, np.ndarray)]
+        rendered = render_batch(
+            [items[i] for i in device_idx],
+            l_max=self.planner.max_samples,
+            harmonics=self.harmonics,
+            pad_to=self._bucket(len(device_idx)),
+        )
+        out: List[Any] = list(items)
+        for i, clip in zip(device_idx, rendered):
+            out[i] = clip
+        return out
+
+    def plan_batch(
+        self,
+        texts: List[str],
+        speakers: List[Tuple[int, int]],
+        slerp_weight: float,
+        length_scale: float,
+        noise_scale: float,
+        noise_scale_w: float,
+        seed: int,
+    ) -> List[Any]:
+        """Per-clip ClipPlans for the fused device pipeline; clips the device
+        renderer cannot express (too long / too many noise segments) come back
+        as host-rendered float32 AUDIO arrays instead — consumers dispatch on
+        the type."""
         tasks = [
             (
                 text,
@@ -354,31 +423,20 @@ class DeviceFormantTTS(BaseTTS):
             )
             for j, (text, (s1, s2)) in enumerate(zip(texts, speakers))
         ]
-        plans = [
-            self.planner.plan(
+        items: List[Any] = []
+        for text, speaker, params, clip_seed in tasks:
+            plan = self.planner.plan(
                 text, speaker=speaker, length_scale=length_scale,
                 noise_scale=noise_scale, seed=clip_seed,
                 speaker_params=params)
-            for text, speaker, params, clip_seed in tasks
-        ]
-        device_idx = [i for i, p in enumerate(plans) if p is not None]
-        rendered = render_batch(
-            [plans[i] for i in device_idx],
-            l_max=self.planner.max_samples,
-            harmonics=self.harmonics,
-            pad_to=self._bucket(len(device_idx)),
-        )
-        out: List[Optional[np.ndarray]] = [None] * len(tasks)
-        for i, clip in zip(device_idx, rendered):
-            out[i] = clip
-        for i, plan in enumerate(plans):
             if plan is None:
-                text, speaker, params, clip_seed = tasks[i]
-                out[i] = self._host.synthesize(
+                items.append(self._host.synthesize(
                     text, speaker=speaker, length_scale=length_scale,
                     noise_scale=noise_scale, seed=clip_seed,
-                    speaker_params=params)
-        return [clip for clip in out if clip is not None]
+                    speaker_params=params))
+            else:
+                items.append(plan)
+        return items
 
 
 class VitsTTS(BaseTTS):
