@@ -271,32 +271,71 @@ class EmbeddingPretrainer:
             f"(random speaker + prosody per rendering, {n_speakers} voices)"
         )
         rng = np.random.default_rng(self.seed + 104729)
+        # Draw ALL per-rendering randomness first (same nested order as the
+        # serial path below, so the two execution strategies see identical
+        # draws), then render — the device backend amortizes one compiled
+        # render per 256-plan batch instead of one dispatch per clip.
+        tasks = []
         for i, text in enumerate(self.texts):
             for j in range(self.speakers_per_text):
-                speakers = [
-                    (int(rng.integers(n_speakers)), int(rng.integers(n_speakers)))
-                ]
+                s_pair = (int(rng.integers(n_speakers)), int(rng.integers(n_speakers)))
+                tasks.append((
+                    i, j, text, s_pair,
+                    float(rng.choice(DEFAULT_TTS_SLERP_WEIGHTS)),
+                    float(rng.choice(DEFAULT_TTS_LENGTH_SCALES)),
+                    float(rng.choice(DEFAULT_TTS_NOISE_SCALES)),
+                    float(rng.choice(DEFAULT_TTS_NOISE_SCALE_WEIGHTS)),
+                    self.seed + i * 131 + j,
+                ))
+
+        def store(i: int, j: int, clip: np.ndarray) -> None:
+            if tts.sample_rate != SAMPLE_RATE:
+                clip = resample_audio(clip, tts.sample_rate, SAMPLE_RATE)
+            # Same post-processing as BaseTTS.__call__: peak-normalized
+            # int16 round-trip with zero-trimmed edges.
+            peak = max(0.01, float(np.abs(clip).max()))
+            pcm = np.clip(clip * (32767.0 / peak), -32768, 32767).astype(np.int16)
+            pcm = np.trim_zeros(pcm)
+            clip = pcm.astype(np.float32) / 32768.0
+            n = min(len(clip), CLIP_SAMPLES)
+            pool[i, j, :n] = clip[:n]
+            lengths[i, j] = n
+
+        if tts.supports_plans:
+            from heybuddy_tpu.models.formant_device import render_batch
+            from heybuddy_tpu.models.tts import _blend_speaker_params
+
+            chunk = 256
+            for c0 in range(0, len(tasks), chunk):
+                group = tasks[c0:c0 + chunk]
+                plans, meta = [], []
+                for (i, j, text, (s1, s2), slerp, ls, ns, _nsw, seed) in group:
+                    # clip seed matches synthesize_batch's derivation for a
+                    # one-clip batch (seed * 31 + j with j = 0)
+                    plan = tts.planner.plan(
+                        text, speaker=s1 * 104729 + s2,
+                        speaker_params=_blend_speaker_params(tts._host, s1, s2, slerp),
+                        length_scale=ls, noise_scale=ns, seed=seed * 31)
+                    if plan is None:
+                        store(i, j, tts._host.synthesize(
+                            text, speaker=s1 * 104729 + s2,
+                            speaker_params=_blend_speaker_params(tts._host, s1, s2, slerp),
+                            length_scale=ls, noise_scale=ns, seed=seed * 31))
+                    else:
+                        plans.append(plan)
+                        meta.append((i, j))
+                rendered = render_batch(
+                    plans, l_max=tts.planner.max_samples,
+                    harmonics=tts.harmonics, pad_to=chunk)
+                for (i, j), clip in zip(meta, rendered):
+                    store(i, j, clip)
+        else:
+            for (i, j, text, s_pair, slerp, ls, ns, nsw, seed) in tasks:
                 clips = tts.synthesize_batch(
-                    [text],
-                    speakers,
-                    slerp_weight=float(rng.choice(DEFAULT_TTS_SLERP_WEIGHTS)),
-                    length_scale=float(rng.choice(DEFAULT_TTS_LENGTH_SCALES)),
-                    noise_scale=float(rng.choice(DEFAULT_TTS_NOISE_SCALES)),
-                    noise_scale_w=float(rng.choice(DEFAULT_TTS_NOISE_SCALE_WEIGHTS)),
-                    seed=self.seed + i * 131 + j,
+                    [text], [s_pair], slerp_weight=slerp, length_scale=ls,
+                    noise_scale=ns, noise_scale_w=nsw, seed=seed,
                 )
-                clip = np.asarray(clips[0], dtype=np.float32)
-                if tts.sample_rate != SAMPLE_RATE:
-                    clip = resample_audio(clip, tts.sample_rate, SAMPLE_RATE)
-                # Same post-processing as BaseTTS.__call__: peak-normalized
-                # int16 round-trip with zero-trimmed edges.
-                peak = max(0.01, float(np.abs(clip).max()))
-                pcm = np.clip(clip * (32767.0 / peak), -32768, 32767).astype(np.int16)
-                pcm = np.trim_zeros(pcm)
-                clip = pcm.astype(np.float32) / 32768.0
-                n = min(len(clip), CLIP_SAMPLES)
-                pool[i, j, :n] = clip[:n]
-                lengths[i, j] = n
+                store(i, j, np.asarray(clips[0], dtype=np.float32))
         self._pool = pool
         self._pool_lengths = lengths
 

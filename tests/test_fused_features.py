@@ -109,6 +109,25 @@ def test_fused_handles_host_fallback_clips(tmp_path, device_tts):
     assert np.isfinite(feats).all()
 
 
+def test_pretrain_pool_via_plan_batches(device_tts):
+    """build_clip_pool's plan-batched fast path fills the pool with distinct,
+    nonzero renderings when the TTS backend supports plans."""
+    from heybuddy_tpu.training.embedding_pretrain import EmbeddingPretrainer
+
+    pre = EmbeddingPretrainer(
+        texts=["hey buddy", "good morning", "open door"],
+        speakers_per_text=2, batch_size=2, seed=4,
+        tts_backend="formant-device",
+    )
+    pre.build_clip_pool()
+    pool, lengths = pre._pool, pre._pool_lengths
+    assert pool.shape[:2] == (3, 2)
+    assert (lengths > 2000).all()
+    # different speaker renderings of the same text differ
+    assert not np.allclose(pool[0, 0], pool[0, 1])
+    assert np.abs(pool).max() > 0.2
+
+
 def test_fused_env_kill_switch(tmp_path, device_tts, monkeypatch):
     from heybuddy_tpu.data.features import TrainingFeaturesGenerator
 
