@@ -139,6 +139,26 @@ def test_device_backend_via_tts_contract():
         assert np.abs(pcm).max() > 8000  # peak-normalized int16
 
 
+def test_plan_mode_guards():
+    from heybuddy_tpu.models.tts import DeviceFormantTTS, FormantTTS
+
+    host = FormantTTS(num_speakers=8)
+    assert not host.supports_plans
+    with pytest.raises(NotImplementedError):
+        host.plan_batch(["hi"], [(0, 0)], 0.0, 1.0, 0.667, 1.0, 0)
+    dev = DeviceFormantTTS(max_samples=L_MAX, harmonics=32)
+    assert dev.supports_plans
+    with pytest.raises(ValueError):
+        dev(["hey buddy"], num_samples=1, as_plans=True, trim_silence=True)
+    with pytest.raises(ValueError):
+        dev(["hey buddy"], num_samples=1, as_plans=True, target_sample_rate=8000)
+    plans = dev(["hey buddy"], num_samples=2, batch_size=2, as_plans=True, seed=1)
+    assert len(plans) == 2
+    for text, item in plans:
+        assert text == "hey buddy"
+        assert not isinstance(item, np.ndarray)  # ClipPlan, not audio
+
+
 def test_get_tts_model_caches_per_backend():
     from heybuddy_tpu.models import tts as tts_mod
 
