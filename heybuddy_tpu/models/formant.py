@@ -270,9 +270,15 @@ class FormantSynthesizer:
         return None
 
     def _build_tracks(self, segments: List[_Segment], total: int,
-                      rng: np.random.Generator, noise_scale: float):
-        """Per-sample F1/F2/F3, voiced amp, nasalization and zero tracks."""
+                      rng: np.random.Generator, noise_scale: float,
+                      positions: Optional[np.ndarray] = None):
+        """F1/F2/F3, voiced amp, nasalization and zero tracks, evaluated at
+        ``positions`` (sorted sample indices; default every sample). The
+        device planner passes a 64x-decimated grid — evaluating only there is
+        what makes host planning ~10x cheaper than full-rate rendering."""
         sr = self.sample_rate
+        pos = (np.arange(total, dtype=np.float64) if positions is None
+               else np.asarray(positions, dtype=np.float64))
         # control points for formants: (sample, f1, f2, f3)
         cp_t: List[float] = []
         cp_f: List[Tuple[float, float, float]] = []
@@ -284,19 +290,39 @@ class FormantSynthesizer:
             cp_t.append(t)
             cp_f.append(f)
 
+        def span_of(lo: float, hi: float) -> "tuple[int, int]":
+            """Index range of positions falling in [lo, hi)."""
+            j = np.searchsorted(pos, [lo, hi], side="left")
+            return int(j[0]), int(j[1])
+
+        def ramp_vals(lo: float, hi_n: float, v0: float, v1: float,
+                      j0: int, j1: int) -> np.ndarray:
+            """Linear v0->v1 over sample offsets 0..hi_n-1 (matches
+            np.linspace(v0, v1, hi_n) indexed at pos-lo)."""
+            denom = max(hi_n - 1.0, 1.0)
+            return (v0 + (v1 - v0) * (pos[j0:j1] - lo) / denom).astype(np.float32)
+
         # per-utterance random formant coloration (speaker idiosyncrasy)
         color = 1.0 + noise_scale * 0.03 * rng.standard_normal(3)
 
-        voiced_amp = np.zeros(total, dtype=np.float32)
-        nasal = np.zeros(total, dtype=np.float32)    # nasalization 0..1
-        zero_f = np.full(total, 1500.0, dtype=np.float32)  # anti-formant Hz
+        voiced_amp = np.zeros(len(pos), dtype=np.float32)
+        nasal = np.zeros(len(pos), dtype=np.float32)    # nasalization 0..1
+        zero_f = np.full(len(pos), 1500.0, dtype=np.float32)  # anti-formant Hz
+
+        def envelope(s: int, n: int, amp: float, att_s: float, rel_s: float) -> None:
+            j0, j1 = span_of(s, s + n)
+            if j1 <= j0:
+                return
+            t_axis = pos[j0:j1] - s
+            att = np.minimum(t_axis / (att_s * sr), 1.0)
+            rel = np.minimum((n - 1 - t_axis) / (rel_s * sr), 1.0)
+            voiced_amp[j0:j1] = amp * att * np.clip(rel, 0, 1)
 
         mix = 0.45  # locus-onset mixing coefficient (locus equations)
         for i, seg in enumerate(segments):
             if seg.n == 0:
                 continue
             s, n = seg.start, seg.n
-            t_axis = np.arange(n)
             prev_seg = segments[i - 1] if i > 0 else None
             next_seg = segments[i + 1] if i + 1 < len(segments) else None
             if seg.kind == "vowel" and seg.targets:
@@ -318,55 +344,56 @@ class FormantSynthesizer:
                 add_cp(s + n - trans, tuple(targets[-1]))
                 add_cp(s + n - 1, tuple(off))
                 # ramp attack/release inside the segment
-                att = np.minimum(t_axis / (0.018 * sr), 1.0)
-                rel = np.minimum((n - 1 - t_axis) / (0.02 * sr), 1.0)
-                voiced_amp[s:s + n] = seg.amp * att * np.clip(rel, 0, 1)
+                envelope(s, n, seg.amp, 0.018, 0.02)
                 # nasalize vowel edges adjacent to nasals
                 if next_seg is not None and next_seg.kind == "nasal":
                     span = min(int(0.07 * sr), n)
-                    ramp = np.linspace(0.0, 0.9, span, dtype=np.float32)
-                    nasal[s + n - span:s + n] = np.maximum(
-                        nasal[s + n - span:s + n], ramp)
-                    zero_f[s + n - span:s + n] = next_seg.anti_formant
+                    j0, j1 = span_of(s + n - span, s + n)
+                    nasal[j0:j1] = np.maximum(
+                        nasal[j0:j1],
+                        ramp_vals(s + n - span, span, 0.0, 0.9, j0, j1))
+                    zero_f[j0:j1] = next_seg.anti_formant
                 if prev_seg is not None and prev_seg.kind == "nasal":
                     span = min(int(0.045 * sr), n)
-                    ramp = np.linspace(0.75, 0.0, span, dtype=np.float32)
-                    nasal[s:s + span] = np.maximum(nasal[s:s + span], ramp)
-                    zero_f[s:s + span] = prev_seg.anti_formant
+                    j0, j1 = span_of(s, s + span)
+                    nasal[j0:j1] = np.maximum(
+                        nasal[j0:j1], ramp_vals(s, span, 0.75, 0.0, j0, j1))
+                    zero_f[j0:j1] = prev_seg.anti_formant
             elif seg.kind in ("nasal", "liquid") and seg.targets:
                 tg = tuple(np.asarray(seg.targets[0], dtype=np.float64) * color)
-                trans = min(int(0.02 * sr), n // 3)
                 add_cp(s, tg)
                 add_cp(s + n - 1, tg)
-                att = np.minimum(t_axis / (0.012 * sr), 1.0)
-                rel = np.minimum((n - 1 - t_axis) / (0.015 * sr), 1.0)
-                voiced_amp[s:s + n] = seg.amp * att * np.clip(rel, 0, 1)
+                envelope(s, n, seg.amp, 0.012, 0.015)
                 if seg.kind == "nasal":
-                    nasal[s:s + n] = 1.0
-                    zero_f[s:s + n] = seg.anti_formant
+                    j0, j1 = span_of(s, s + n)
+                    nasal[j0:j1] = 1.0
+                    zero_f[j0:j1] = seg.anti_formant
             elif seg.kind in ("fricative", "closure") and seg.amp > 0:
                 # voiced murmur under voiced fricatives / closure prevoicing
                 tg = seg.targets[0] if seg.targets else (300, 1400, 2500)
                 add_cp(s, tuple(np.asarray(tg, dtype=np.float64)))
                 add_cp(s + n - 1, tuple(np.asarray(tg, dtype=np.float64)))
-                att = np.minimum(t_axis / (0.01 * sr), 1.0)
-                rel = np.minimum((n - 1 - t_axis) / (0.01 * sr), 1.0)
-                voiced_amp[s:s + n] = seg.amp * att * np.clip(rel, 0, 1)
+                envelope(s, n, seg.amp, 0.01, 0.01)
 
         if not cp_t:
             add_cp(0, (500.0, 1500.0, 2500.0))
-        samples = np.arange(total, dtype=np.float64)
         cps = np.asarray(cp_t)
         cf = np.asarray(cp_f)
-        f1 = np.interp(samples, cps, cf[:, 0]).astype(np.float32)
-        f2 = np.interp(samples, cps, cf[:, 1]).astype(np.float32)
-        f3 = np.interp(samples, cps, cf[:, 2]).astype(np.float32)
+        f1 = np.interp(pos, cps, cf[:, 0]).astype(np.float32)
+        f2 = np.interp(pos, cps, cf[:, 1]).astype(np.float32)
+        f3 = np.interp(pos, cps, cf[:, 2]).astype(np.float32)
         return f1, f2, f3, voiced_amp, nasal, zero_f
 
     def _f0_track(self, segments: List[_Segment], total: int, f0: float,
-                  rng: np.random.Generator, noise_scale: float) -> np.ndarray:
-        """Declining F0 with stress accents and a phrase-final fall."""
-        t = np.arange(total, dtype=np.float64) / max(total - 1, 1)
+                  rng: np.random.Generator, noise_scale: float,
+                  positions: Optional[np.ndarray] = None) -> np.ndarray:
+        """Declining F0 with stress accents and a phrase-final fall, evaluated
+        at ``positions`` (default every sample). The jitter walk's length
+        depends on ``total`` only, so decimated and full evaluations sample
+        the same underlying contour (and consume the same rng draws)."""
+        pos = (np.arange(total, dtype=np.float64) if positions is None
+               else np.asarray(positions, dtype=np.float64))
+        t = pos / max(total - 1, 1)
         track = f0 * (1.08 - 0.18 * t)          # declination
         track *= 1.0 - 0.08 * np.clip((t - 0.85) / 0.15, 0, 1)  # final fall
         # stress accents: smooth +10% bumps centered on stressed vowels
@@ -374,12 +401,12 @@ class FormantSynthesizer:
             if seg.kind == "vowel" and seg.stress and seg.n > 0:
                 center = seg.start + seg.n / 2
                 width = max(seg.n, 1) * 1.2
-                x = (np.arange(total) - center) / width
+                x = (pos - center) / width
                 track *= 1.0 + 0.10 * np.exp(-4.0 * x * x)
         # slow jitter (random walk, low-passed)
         walk = np.cumsum(rng.standard_normal(max(total // 160, 2)))
         walk = walk / (np.abs(walk).max() + 1e-9)
-        jitter = np.interp(np.linspace(0, 1, total), np.linspace(0, 1, len(walk)), walk)
+        jitter = np.interp(t, np.linspace(0, 1, len(walk)), walk)
         track *= 1.0 + noise_scale * 0.012 * jitter
         return track.astype(np.float64)
 

@@ -85,18 +85,6 @@ class ClipPlan:
     noise_table: np.ndarray  # (MAX_NOISE_SEGMENTS, 9) f32
 
 
-def _decimate(track: np.ndarray, n_dec: int, pad_value: Optional[float] = None) -> np.ndarray:
-    """Take every TRACK_STRIDE-th sample, edge- (or constant-) padded to n_dec."""
-    dec = np.asarray(track[::TRACK_STRIDE], dtype=np.float32)
-    if len(dec) >= n_dec:
-        return dec[:n_dec]
-    if pad_value is None:
-        fill = dec[-1] if len(dec) else 0.0
-    else:
-        fill = pad_value
-    return np.concatenate([dec, np.full(n_dec - len(dec), fill, np.float32)])
-
-
 class DeviceFormantPlanner:
     """Text -> :class:`ClipPlan` using the host synthesizer's own planning."""
 
@@ -145,23 +133,28 @@ class DeviceFormantPlanner:
         if len(noise_segments) > MAX_NOISE_SEGMENTS:
             return None
 
-        # Identical rng consumption order to FormantSynthesizer.synthesize:
-        # the voiced tracks and phase match the host backend numerically.
-        f1, f2, f3, amp, nasal, zero_f = self.synth._build_tracks(
-            segments, total, rng, noise_scale)
-        f0_track = self.synth._f0_track(segments, total, f0, rng, noise_scale)
-        phase = 2.0 * np.pi * np.cumsum(f0_track) / sr + rng.uniform(0, 2 * np.pi)
-
+        # Identical rng consumption order to FormantSynthesizer.synthesize,
+        # with every track evaluated ONLY at the decimated grid (the full-rate
+        # evaluation was ~80% of planning cost). The device reconstructs
+        # intra-interval phase by integrating the linearly-interpolated f0, so
+        # the knot phases here use the matching trapezoid accumulation.
         n_dec = self.n_dec
+        positions = np.arange(n_dec, dtype=np.float64) * TRACK_STRIDE
+        f1, f2, f3, amp, nasal, zero_f = self.synth._build_tracks(
+            segments, total, rng, noise_scale, positions=positions)
+        f0_track = self.synth._f0_track(
+            segments, total, f0, rng, noise_scale, positions=positions)
+        steps = (f0_track[:-1] + f0_track[1:]) * (0.5 * TRACK_STRIDE)
+        phase = rng.uniform(0, 2 * np.pi) + (2.0 * np.pi / sr) * np.concatenate(
+            [[0.0], np.cumsum(steps)])
+
         tracks = np.stack([
-            _decimate(f0_track, n_dec),
-            _decimate(phase, n_dec),
-            _decimate(f1, n_dec),
-            _decimate(f2, n_dec),
-            _decimate(f3, n_dec),
-            _decimate(amp, n_dec, pad_value=0.0),
-            _decimate(nasal, n_dec, pad_value=0.0),
-            _decimate(zero_f, n_dec),
+            f0_track.astype(np.float32),
+            phase.astype(np.float32),
+            f1, f2, f3,
+            np.where(positions < total, amp, 0.0).astype(np.float32),
+            np.where(positions < total, nasal, 0.0).astype(np.float32),
+            zero_f,
         ])
 
         table = np.zeros((MAX_NOISE_SEGMENTS, 9), np.float32)
