@@ -44,7 +44,7 @@ import numpy as np
 
 from heybuddy_tpu.models.embedding_net import EmbeddingNetConfig, _band_constants
 
-__all__ = ["fused_embedding_windows"]
+__all__ = ["fused_embedding_windows", "fused_embedding_from_patches"]
 
 GELU_K = np.float32(1.0 / np.sqrt(2.0))
 
@@ -97,11 +97,15 @@ def _trunk_pool_body(
     # each member replaces one stage with a cheap stand-in of the same shape
     # so compile-and-time diffs attribute the kernel's cost per stage. Never
     # set in production paths.
+    if "noop" in ablate:
+        # Pure streaming floor: read the input block, write a trivial output.
+        s = jnp.sum(x.astype(jnp.float32)) * 0.0
+        return jnp.broadcast_to(s, (T, n_windows, b_head.shape[-1])) + b_head[0][None, None]
     # ---- trunk over all patches (2D, leading merge) -------------------------
     feats = (
         jnp.dot(_rms(x, compute), w_patch, preferred_element_type=jnp.float32) + b_patch[0]
     ).astype(compute)
-    for i in range(n_blocks):
+    for i in range(n_blocks if "trunk" not in ablate else 0):
         pre = feats if "trunk_rms" in ablate else _rms(feats, compute)
         h = jnp.dot(pre, up_w[i], preferred_element_type=jnp.float32) + up_b[i]
         if "gelu" in ablate:
@@ -129,11 +133,18 @@ def _trunk_pool_body(
 
     # ---- pooled = W @b feats + W @wh POSP ------------------------------------
     feats3 = feats.reshape(T, P, hidden)
-    numer1 = _batched_dot(weights, feats3)                    # (T, WH, hidden)
+    if "pool_mm" in ablate:
+        # Profiling stand-in: skip BOTH pooling batched dots, keep shapes.
+        pooled = jnp.broadcast_to(
+            feats3[:, :1].astype(jnp.float32), (T, wh, hidden)
+        ) + jnp.sum(weights.astype(jnp.float32), axis=2, keepdims=True)
+        numer1 = pooled
+    else:
+        numer1 = _batched_dot(weights, feats3)                # (T, WH, hidden)
     # Mosaic requires both batch dims at position 0 (probed: mixed positions
     # fail with "batch dims must be equal"), so swap WH to the front, run the
     # batched dot, and swap back (leading-dim swapaxes is supported).
-    if "posp" in ablate:
+    if "posp" in ablate or "pool_mm" in ablate:
         pooled = numer1
     else:
         weights_whT = jnp.swapaxes(weights, 0, 1)             # (WH, T, P)
@@ -147,6 +158,14 @@ def _trunk_pool_body(
         norm = _grouped_rms(pooled, gs, heads, hidden, compute)
 
     # ---- head: out = sum_h (SEL_h @b norm) @ W_head[h] ------------------------
+    if "head_mm" in ablate:
+        # Profiling stand-in: ONE unselected head dot instead of 4x(sel+head).
+        out = jax.lax.dot_general(
+            norm[:, :n_windows], w_head[:hidden],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return out + b_head[0][None, None]
     out = None
     for h in range(heads):
         sel_b = jnp.broadcast_to(sel_h[h], (T, n_windows, wh)).astype(compute)
@@ -263,9 +282,6 @@ def fused_embedding_windows(
     matching ``apply_spectrogram_banded(..., compute_dtype=bfloat16)`` to
     bf16 tolerance.
     """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     cfg = config or EmbeddingNetConfig()
     b, frames, mel = spectrogram.shape
     usable = (frames // cfg.patch_frames) * cfg.patch_frames
@@ -275,6 +291,46 @@ def fused_embedding_windows(
     # the patch axis to 8 and zero the band/posp constants on the pad rows so
     # the pooled math is untouched (zero band weight => zero contribution).
     p_pad_to = -(-num_patches // 8) * 8
+    pad_b = (-b) % clip_tile
+    patches_in = spectrogram[:, :usable].reshape(b, num_patches, cfg.patch_dim)
+    patches_in = jnp.pad(
+        patches_in, ((0, pad_b), (0, p_pad_to - num_patches), (0, 0))
+    )
+    out = fused_embedding_from_patches(
+        params, patches_in, window_starts, num_patches,
+        config=cfg, clip_tile=clip_tile, interpret=interpret,
+        vmem_limit_bytes=vmem_limit_bytes, ablate=ablate,
+    )
+    return out[:b]
+
+
+def fused_embedding_from_patches(
+    params: Dict[str, Any],
+    patches: jax.Array,
+    window_starts: Sequence[int],
+    num_patches: int,
+    config: EmbeddingNetConfig = None,
+    clip_tile: int = 16,
+    interpret: bool = False,
+    vmem_limit_bytes: int = None,
+    ablate: frozenset = frozenset(),
+) -> jax.Array:
+    """
+    Padded-patch-layout entry: (total_b, p_pad, patch_dim) patches (batch a
+    multiple of ``clip_tile``, patch rows >= ``num_patches`` zero) ->
+    (total_b, W, 96). ``mel_patches_pallas`` emits this layout directly,
+    removing the 1.6 ms slice+reshape+pad glue between the mel and embedding
+    kernels (the production path via ``featurize_batch(pooling="fused")``).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg = config or EmbeddingNetConfig()
+    total_b, p_pad_to, patch_dim = patches.shape
+    if patch_dim != cfg.patch_dim:
+        raise ValueError(f"patch dim {patch_dim} != config {cfg.patch_dim}")
+    if total_b % clip_tile:
+        raise ValueError(f"batch {total_b} not a multiple of clip_tile {clip_tile}")
     starts = tuple(int(s) for s in window_starts)
     n_windows = len(starts)
     heads = cfg.pool_heads
@@ -294,13 +350,6 @@ def fused_embedding_windows(
     w_head = jnp.asarray(params["head"]["w"], compute)           # (H*hidden, 96)
     b_head = jnp.asarray(params["head"]["b"], jnp.float32)[None]
     q_c = q.astype(compute)
-
-    pad_b = (-b) % clip_tile
-    patches_in = spectrogram[:, :usable].reshape(b, num_patches, cfg.patch_dim)
-    patches_in = jnp.pad(
-        patches_in, ((0, pad_b), (0, p_pad_to - num_patches), (0, 0))
-    )
-    total_b = patches_in.shape[0]
 
     tile_h_c = pool["tile_h"]                                    # (WH, H)
     gs_c = pool["gs"]                                            # (WH, W)
@@ -352,7 +401,7 @@ def fused_embedding_windows(
         out_shape=jax.ShapeDtypeStruct((total_b, n_windows, cfg.embedding_dim), jnp.float32),
         interpret=interpret,
     )(
-        patches_in, band, posp, tile_h_c, gs_c, sel_h_c,
+        patches, band, posp, tile_h_c, gs_c, sel_h_c,
         w_patch, b_patch, up_w, up_b, dn_w, dn_b, q_c, w_head, b_head,
     )
-    return out[:b]
+    return out

@@ -37,6 +37,7 @@ def parse_args():
     p.add_argument("--out", default="/tmp/kernel_sweep.jsonl")
     p.add_argument("--batch", type=int, default=BATCH)
     p.add_argument("--skip-ablations", action="store_true")
+    p.add_argument("--passes", type=int, default=8)
     p.add_argument("--tiles", default="16,32,64")
     return p.parse_args()
 
@@ -69,54 +70,67 @@ def main() -> None:
     def fetch(r):
         return float(np.asarray(r[0, 0, 0]))
 
-    results = []
+    # Build every variant first (compiles are cached), then time them in
+    # INTERLEAVED round-robin passes taking the per-variant minimum: the
+    # shared chip behind the axon tunnel has multi-ms contention spikes, so
+    # sequential per-variant timing produces incoherent deltas (observed:
+    # the same program timed 4.0 and 7.3 ms in back-to-back sweeps).
+    variants: list[tuple[str, Any, dict]] = []
 
-    def bench(label, **kw):
-        fn = jax.jit(
-            lambda p, s: fused_embedding_windows(p, s, starts, **kw)
-        )
+    def add(label, **kw):
+        fn = jax.jit(lambda p, s: fused_embedding_windows(p, s, starts, **kw))
         t0 = time.time()
         fetch(fn(params, spec))
-        compile_s = time.time() - t0
-        fetch(fn(params, spec))
-        best = float("inf")
-        for _ in range(3):
+        print(f"compiled {label} in {time.time() - t0:.1f}s")
+        variants.append((label, fn, kw))
+
+    add("baseline_t16")
+    if not args.skip_ablations:
+        for stage in (
+            "softmax", "pool_rms", "trunk_rms", "gelu", "posp",
+            "trunk", "pool_mm", "head_mm", "noop",
+        ):
+            add(f"ablate_{stage}", ablate=frozenset({stage}))
+        add("ablate_all_vpu", ablate=frozenset({"softmax", "pool_rms", "trunk_rms", "gelu"}))
+        add(
+            "ablate_all_mm_but_trunk",
+            ablate=frozenset({"softmax", "pool_mm", "posp", "head_mm"}),
+        )
+    for t in (int(x) for x in args.tiles.split(",") if x):
+        if t != 16:
+            add(f"tile_{t}", clip_tile=t, vmem_limit_bytes=64 * 1024 * 1024)
+
+    best = {label: float("inf") for label, _, _ in variants}
+    for pass_i in range(args.passes):
+        for label, fn, _ in variants:
             t0 = time.perf_counter()
             out = None
             for _ in range(ITERS):
                 out = fn(params, spec)
             fetch(out)
-            best = min(best, time.perf_counter() - t0)
-        ms = best / ITERS * 1e3
-        row = {
-            "label": label,
-            "ms_per_batch": round(ms, 3),
-            "clips_per_s": round(args.batch / (best / ITERS), 0),
-            "compile_s": round(compile_s, 1),
-            **{k: (sorted(v) if isinstance(v, frozenset) else v) for k, v in kw.items()},
-        }
-        results.append(row)
-        print(json.dumps(row))
-        with open(args.out, "a") as f:
+            best[label] = min(best[label], (time.perf_counter() - t0) / ITERS)
+        print(f"pass {pass_i + 1}/{args.passes}: "
+              + ", ".join(f"{l}={best[l] * 1e3:.2f}" for l, _, _ in variants[:3]))
+
+    results = []
+    with open(args.out, "a") as f:
+        for label, _, kw in variants:
+            row = {
+                "label": label,
+                "ms_per_batch": round(best[label] * 1e3, 3),
+                "clips_per_s": round(args.batch / best[label], 0),
+                **{k: (sorted(v) if isinstance(v, frozenset) else v) for k, v in kw.items()},
+            }
+            results.append(row)
             f.write(json.dumps(row) + "\n")
-        return ms
 
-    base_ms = bench("baseline_t16")
-
-    if not args.skip_ablations:
-        for stage in ("softmax", "pool_rms", "trunk_rms", "gelu", "posp"):
-            ms = bench(f"ablate_{stage}", ablate=frozenset({stage}))
-            print(f"  -> {stage} costs ~{base_ms - ms:.3f} ms")
-        bench("ablate_all_vpu", ablate=frozenset({"softmax", "pool_rms", "trunk_rms", "gelu"}))
-
-    for t in (int(x) for x in args.tiles.split(",") if x):
-        if t == 16:
-            continue
-        bench(f"tile_{t}", clip_tile=t, vmem_limit_bytes=64 * 1024 * 1024)
-
-    print("\n=== summary ===")
+    base_ms = results[0]["ms_per_batch"]
+    print("\n=== summary (min over interleaved passes) ===")
     for r in sorted(results, key=lambda r: r["ms_per_batch"]):
-        print(f"{r['label']:>18}: {r['ms_per_batch']:7.3f} ms  {r['clips_per_s']:9.0f} clips/s")
+        print(
+            f"{r['label']:>24}: {r['ms_per_batch']:7.3f} ms  "
+            f"{r['clips_per_s']:9.0f} clips/s  (delta {base_ms - r['ms_per_batch']:+.3f})"
+        )
 
 
 if __name__ == "__main__":
