@@ -94,10 +94,15 @@ def mel_spectrogram_pallas(
     clip_tile: int = 16,
     interpret: bool = False,
     frame_chunk: int = FRAME_CHUNK,
+    dft_dtype: jnp.dtype = jnp.float32,
 ) -> jax.Array:
     """
     (b, t) int16-range float32 audio -> (b, n_frames, 32) scaled log-mel,
     identical contract to ``ops.melspec.mel_spectrogram``.
+
+    ``dft_dtype=bfloat16`` casts the hop blocks and DFT basis to bf16 before
+    the MXU dots (f32 accumulation) — a single MXU pass instead of the
+    multi-pass reduced-precision default Mosaic uses for f32 inputs.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -130,7 +135,7 @@ def mel_spectrogram_pallas(
             spectrum = None
             for idx, j in enumerate(hop_offsets):
                 block = hops_ref[:, f0 + j : f0 + j + frame_chunk, :]
-                x = block.reshape(clip_tile * frame_chunk, hop)
+                x = block.reshape(clip_tile * frame_chunk, hop).astype(dft_dtype)
                 part = jnp.dot(
                     x, basis_ref[idx], preferred_element_type=jnp.float32
                 )
@@ -159,7 +164,7 @@ def mel_spectrogram_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((total_b, f_pad, MEL_BINS), jnp.float32),
         interpret=interpret,
-    )(hops, jnp.asarray(basis_blocks), jnp.asarray(fb))
+    )(hops, jnp.asarray(basis_blocks, dft_dtype), jnp.asarray(fb))
     return out[:b, :frames]
 
 
@@ -192,6 +197,8 @@ def mel_patches_pallas(
     clip_tile: int = 16,
     interpret: bool = False,
     frame_chunk: int = FRAME_CHUNK,
+    dft_dtype: jnp.dtype = jnp.float32,
+    dft_mode: str = "chunked",
 ) -> Tuple[jax.Array, int]:
     """
     (b, t) int16-range float32 audio -> ((b_padded, p_pad, patch_frames*mel),
@@ -202,6 +209,18 @@ def mel_patches_pallas(
     kernels — a measured 1.6 ms HBM copy per 2048-clip batch on v5e (~22% of
     the whole featurization pipeline). Batch stays padded to ``clip_tile``;
     callers slice the final embedding output instead.
+
+    ``dft_mode``:
+
+    * ``"chunked"`` (production): the per-frame-chunk formulation
+      ``mel_spectrogram_pallas`` uses — J x n_chunks (T·48, 160)x(160, 256)
+      MXU dots per grid step.
+    * ``"fat"``: ONE (T·n_hops, 160)x(160, J·256) dot per grid step computes
+      every hop-row x basis-block product, then frames are assembled by three
+      shifted sublane slices + adds. Numerically identical to ``"chunked"``
+      (same partials, same add order). MEASURED NEGATIVE RESULT on v5e: 5.88
+      vs 5.63 ms per 2048 clips — the mel kernel's 13 TF/s effective DFT rate
+      is not issue-count-bound (PERF.md); kept for attribution sweeps.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -213,7 +232,15 @@ def mel_patches_pallas(
     frames = num_frames(t)
     f_pad = -(-frames // frame_chunk) * frame_chunk
     n_chunks = f_pad // frame_chunk
-    n_hops = f_pad + 3
+    if dft_mode == "fat":
+        # hop rows must reshape back from (T*n_hops, .) -> (T, n_hops, .):
+        # sublane SPLITS need the inner dim to be a multiple of the 8-row
+        # tile (PERF.md layout rules), so pad the hop axis to 8.
+        n_hops = f_pad + 8
+    elif dft_mode == "chunked":
+        n_hops = f_pad + 3  # frame f uses hops f..f+3 (512 = 3 hops + 32)
+    else:
+        raise ValueError(f"unknown dft_mode {dft_mode!r}; expected fat/chunked")
 
     # patch geometry must match fused_embedding_windows exactly
     patch_frames = 4
@@ -234,32 +261,15 @@ def mel_patches_pallas(
     hops = audio.reshape(total_b, n_hops, hop)
 
     basis_blocks, hop_offsets, fb = _constants()
+    n_blocks, _, spec_w = basis_blocks.shape  # spec_w = 2 * N_FREQ_PAD
     sel_np, place_np = _patch_pack_constants(
         f_pad, num_patches, p_pad, patch_frames, MEL_BINS
     )
 
     T = clip_tile
 
-    def kernel(hops_ref, basis_ref, fb_ref, sel_ref, place_ref, out_ref, scratch):
-        for c in range(n_chunks):
-            f0 = c * frame_chunk
-            spectrum = None
-            for idx, j in enumerate(hop_offsets):
-                block = hops_ref[:, f0 + j : f0 + j + frame_chunk, :]
-                x = block.reshape(T * frame_chunk, hop)
-                part = jnp.dot(
-                    x, basis_ref[idx], preferred_element_type=jnp.float32
-                )
-                spectrum = part if spectrum is None else spectrum + part
-            re = spectrum[:, :N_FREQ_PAD]
-            im = spectrum[:, N_FREQ_PAD:]
-            power = re * re + im * im
-            mel = jnp.dot(power, fb_ref[...], preferred_element_type=jnp.float32)
-            logmel = jnp.log(mel + MEL_LOG_EPS) / MEL_SCALE_DIV + MEL_SCALE_ADD
-            scratch[:, f0 : f0 + frame_chunk, :] = logmel.reshape(
-                T, frame_chunk, MEL_BINS
-            )
-        lm = scratch[...]                                         # (T, f_pad, 32)
+    def patch_pack(lm, sel_ref, place_ref, out_ref):
+        # (T, f_pad, 32) scaled log-mel -> (T, p_pad, patch_dim) patch rows
         acc = None
         for k in range(patch_frames):
             sel_b = jnp.broadcast_to(sel_ref[k], (T, p_pad, f_pad))
@@ -275,12 +285,70 @@ def mel_patches_pallas(
             acc = placed if acc is None else acc + placed
         out_ref[...] = acc.reshape(T, p_pad, patch_dim)
 
+    def kernel_chunked(hops_ref, basis_ref, fb_ref, sel_ref, place_ref, out_ref, scratch):
+        for c in range(n_chunks):
+            f0 = c * frame_chunk
+            spectrum = None
+            for idx, j in enumerate(hop_offsets):
+                block = hops_ref[:, f0 + j : f0 + j + frame_chunk, :]
+                x = block.reshape(T * frame_chunk, hop).astype(dft_dtype)
+                part = jnp.dot(
+                    x, basis_ref[idx], preferred_element_type=jnp.float32
+                )
+                spectrum = part if spectrum is None else spectrum + part
+            re = spectrum[:, :N_FREQ_PAD]
+            im = spectrum[:, N_FREQ_PAD:]
+            power = re * re + im * im
+            mel = jnp.dot(power, fb_ref[...], preferred_element_type=jnp.float32)
+            logmel = jnp.log(mel + MEL_LOG_EPS) / MEL_SCALE_DIV + MEL_SCALE_ADD
+            scratch[:, f0 : f0 + frame_chunk, :] = logmel.reshape(
+                T, frame_chunk, MEL_BINS
+            )
+        patch_pack(scratch[...], sel_ref, place_ref, out_ref)
+
+    def kernel_fat(hops_ref, basis_ref, fb_ref, sel_ref, place_ref, out_ref):
+        # one MXU dot computes every (hop row x basis block) product
+        x = hops_ref[...].reshape(T * n_hops, hop).astype(dft_dtype)
+        z = jnp.dot(x, basis_ref[...], preferred_element_type=jnp.float32)
+        z3 = z.reshape(T, n_hops, n_blocks * spec_w)
+        spectrum = None
+        for idx, j in enumerate(hop_offsets):
+            # lane offsets idx*spec_w are 128-aligned (spec_w = 256)
+            part = z3[:, j : j + f_pad, idx * spec_w : (idx + 1) * spec_w]
+            spectrum = part if spectrum is None else spectrum + part
+        flat = spectrum.reshape(T * f_pad, spec_w)
+        re = flat[:, :N_FREQ_PAD]
+        im = flat[:, N_FREQ_PAD:]
+        power = re * re + im * im
+        mel = jnp.dot(power, fb_ref[...], preferred_element_type=jnp.float32)
+        logmel = jnp.log(mel + MEL_LOG_EPS) / MEL_SCALE_DIV + MEL_SCALE_ADD
+        patch_pack(logmel.reshape(T, f_pad, MEL_BINS), sel_ref, place_ref, out_ref)
+
+    if dft_mode == "fat":
+        # basis blocks concatenated along the output axis: (160, J*256)
+        basis_in = np.concatenate(list(basis_blocks), axis=1)
+        basis_spec = pl.BlockSpec(basis_in.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        kernel = kernel_fat
+        scratch_shapes = []
+        # z alone is (T, n_hops, 768) f32 ~ 7.5 MB at T=16 — past the 16 MB
+        # scoped-VMEM default once double-buffered I/O is counted.
+        compiler_params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+    else:
+        basis_in = basis_blocks
+        basis_spec = pl.BlockSpec(
+            basis_blocks.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+        kernel = kernel_chunked
+        scratch_shapes = [pltpu.VMEM((T, f_pad, MEL_BINS), jnp.float32)]
+        compiler_params = None
+
     out = pl.pallas_call(
         kernel,
         grid=(total_b // T,),
+        compiler_params=compiler_params,
         in_specs=[
             pl.BlockSpec((T, n_hops, hop), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(basis_blocks.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            basis_spec,
             pl.BlockSpec(fb.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(sel_np.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(place_np.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
@@ -289,8 +357,8 @@ def mel_patches_pallas(
             (T, p_pad, patch_dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((total_b, p_pad, patch_dim), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((T, f_pad, MEL_BINS), jnp.float32)],
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
-    )(hops, jnp.asarray(basis_blocks), jnp.asarray(fb),
+    )(hops, jnp.asarray(basis_in, dft_dtype), jnp.asarray(fb),
       jnp.asarray(sel_np), jnp.asarray(place_np))
     return out, num_patches
