@@ -45,8 +45,15 @@ def main() -> None:
 
     _enable_compilation_cache()
 
-    batch = 2048
-    iters = 10
+    # Large batches amortize the per-dispatch round trip, which on the remote
+    # axon tunnel measures ~3.3 ms per jitted call (a trivial x*2+1 jit costs
+    # the same 3.3 ms; PERF.md "dispatch tax"). Measured scaling on v5e:
+    # 2048 -> 314k, 8192 -> 414k, 16384 -> 468k, 32768 -> 511k clips/s.
+    # Production feature generation streams >=100k clips per run, so a 16k
+    # device batch is the realistic steady-state unit (data/features.py
+    # autoconfigure picks the same tier on 16 GB HBM).
+    batch = 16384
+    iters = 5
 
     params = embedding_net.default_params()
     rng = np.random.default_rng(0)

@@ -73,12 +73,19 @@ def autoconfigure_batch_sizes() -> Dict[str, int]:
     else:
         host_tier = {"tts_batch_size": 8, "augment_batch_size": 128}
 
+    # Each jitted featurize call pays a fixed dispatch round trip (~3.3 ms on
+    # the remote axon tunnel — PERF.md "dispatch tax"), so the device batch
+    # should be as large as HBM and host staging RAM allow: measured 512 ->
+    # ~120k clips/s effective vs 8192 -> ~410k on v5e. Staging buffers hold
+    # ~2 batches of 92 KB/clip on the host, so the big tiers also need RAM.
     if hbm_gib < 8:
-        embed = 128
-    elif hbm_gib < 16:
-        embed = 256
-    else:
         embed = 512
+    elif hbm_gib < 12 or ram_gib < 8:
+        embed = 2048
+    elif ram_gib < 16:
+        embed = 4096
+    else:
+        embed = 8192
     return {**host_tier, "embed_batch_size": embed}
 
 

@@ -10,10 +10,11 @@ chain in VMEM per clip tile:
     audio hops -> 4 shifted matmuls vs the windowed-DFT basis -> power ->
     mel filterbank -> log -> x/10+2
 
-HBM traffic becomes audio in (once) + the (b, F_pad, 32) spectrogram out.
-Measured: ~2.8 ms per 2048 clips on v5e (vs 7.5 ms XLA); with the fused
-embedding kernel the full featurization pipeline is 7.3 ms / 281k clips/s
-(bench.py: 252k steady-state), up from 13.5 ms / 151k for the XLA paths.
+HBM traffic becomes audio in (once) + the patch/spectrogram output. With the
+fused embedding kernel the full featurization pipeline measures 6.53 ms per
+2048 clips wall / ~3.8 ms device time on v5e (the ~3.3 ms/call dispatch tax
+accounts for the difference — PERF.md), 468k clips/s at the production
+16384-clip batch, up from 13.5 ms / 151k for the XLA paths.
 
 Layout rules respected for Mosaic (the round-1 kernel's failure was 3D
 contractions / sublane-lane shape casts):
