@@ -381,8 +381,31 @@ class EmbeddingPretrainer:
             updates, new_opt_state = tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), new_opt_state, loss, base, hard
 
+        # One dispatch runs ``steps_per_call`` steps under lax.scan: each
+        # jitted call through the remote tunnel costs a fixed ~3.3 ms
+        # (PERF.md "dispatch tax"), ~16% of a 20 ms pretrain step when
+        # dispatched one step at a time. Host-sampled indices arrive stacked
+        # with a leading scan axis; metrics come back (k, 3).
+        def multi_step(params, opt_state, pool, pool_lengths, noise_bank,
+                       impulse_bank, keys, text_idx, spk_idx, noise_idx,
+                       imp_idx, pair_mask):
+            def body(carry, xs):
+                p, o = carry
+                key, ti, si, ni, ii, pm = xs
+                p, o, loss, base, hard = step(
+                    p, o, key, pool, pool_lengths, noise_bank, impulse_bank,
+                    ti, si, ni, ii, pm,
+                )
+                return (p, o), jnp.stack([loss, base, hard])
+
+            (params, opt_state), metrics = jax.lax.scan(
+                body, (params, opt_state),
+                (keys, text_idx, spk_idx, noise_idx, imp_idx, pair_mask),
+            )
+            return params, opt_state, metrics
+
         if self.mesh is None:
-            return jax.jit(step, donate_argnums=(0, 1))
+            return jax.jit(multi_step, donate_argnums=(0, 1))
 
         # Mesh-sharded pretraining: the HBM-resident clip pool shards over
         # the data axis (its texts dimension) so pool memory scales down
@@ -394,16 +417,18 @@ class EmbeddingPretrainer:
 
         repl = NamedSharding(self.mesh, P())
         pool_sh = NamedSharding(self.mesh, P("data"))
-        batch_sh = NamedSharding(self.mesh, P("data"))
-        batch2_sh = NamedSharding(self.mesh, P(None, "data"))
+        # stacked (k, ...) index arrays: the scan axis leads, the batch axis
+        # shards over "data" exactly as in the single-step layout
+        batch_sh = NamedSharding(self.mesh, P(None, "data"))
+        batch2_sh = NamedSharding(self.mesh, P(None, None, "data"))
         return jax.jit(
-            step,
+            multi_step,
             donate_argnums=(0, 1),
             in_shardings=(
-                repl, repl, repl, pool_sh, pool_sh, repl, repl,
+                repl, repl, pool_sh, pool_sh, repl, repl, repl,
                 batch_sh, batch_sh, batch2_sh, batch2_sh, batch_sh,
             ),
-            out_shardings=(repl, repl, repl, repl, repl),
+            out_shardings=(repl, repl, repl),
         )
 
     def _sample_batch(
@@ -441,8 +466,16 @@ class EmbeddingPretrainer:
         batch = np.concatenate([taken, filler])
         return self.rng.permutation(batch)
 
-    def train(self, steps: int = 1000, log_every: int = 50) -> Dict[str, Any]:
-        """Run contrastive training; returns the trained parameter pytree."""
+    def train(
+        self, steps: int = 1000, log_every: int = 50, steps_per_call: int = 8
+    ) -> Dict[str, Any]:
+        """Run contrastive training; returns the trained parameter pytree.
+
+        ``steps_per_call`` steps run per device dispatch (lax.scan) to
+        amortize the fixed ~3.3 ms per-call cost of the remote tunnel
+        (PERF.md); it is lowered to the largest divisor of ``steps`` so a
+        single program shape compiles.
+        """
         if self._pool is None:
             self.build_clip_pool()
         if self._step_fn is None:
@@ -491,31 +524,50 @@ class EmbeddingPretrainer:
         for cid in np.unique(self.cluster_ids):
             if cid >= 0:
                 cluster_members[int(cid)] = np.flatnonzero(self.cluster_ids == cid)
-        for step_idx in range(steps):
-            text_idx = self._sample_batch(cluster_members, n_texts)
-            ids = self.cluster_ids[text_idx]
-            pair_mask = (ids[:, None] == ids[None, :]) & (ids[:, None] >= 0)
-            np.fill_diagonal(pair_mask, False)
-            spk = np.stack(
-                [self.rng.choice(n_spk, size=2, replace=n_spk < 2) for _ in range(self.batch_size)]
+        k = max(1, min(int(steps_per_call), steps))
+        while steps % k:
+            k -= 1
+        base_key = jax.random.PRNGKey(self.seed + 13)
+        for chunk_start in range(0, steps, k):
+            text_b, spk_b, noise_b, imp_b, mask_b = [], [], [], [], []
+            for i in range(k):
+                text_idx = self._sample_batch(cluster_members, n_texts)
+                ids = self.cluster_ids[text_idx]
+                pair_mask = (ids[:, None] == ids[None, :]) & (ids[:, None] >= 0)
+                np.fill_diagonal(pair_mask, False)
+                spk = np.stack([
+                    self.rng.choice(n_spk, size=2, replace=n_spk < 2)
+                    for _ in range(self.batch_size)
+                ])
+                text_b.append(text_idx.astype(np.int32))
+                spk_b.append(spk.astype(np.int32))
+                noise_b.append(self.rng.integers(0, 256, (2, self.batch_size)).astype(np.int32))
+                imp_b.append(self.rng.integers(0, 64, (2, self.batch_size)).astype(np.int32))
+                mask_b.append(pair_mask)
+            keys = jnp.stack([
+                jax.random.fold_in(base_key, chunk_start + i) for i in range(k)
+            ])
+            params, opt_state, metrics = self._step_fn(
+                params, opt_state, pool, pool_lengths, noise_bank, impulse_bank,
+                keys, np.stack(text_b), np.stack(spk_b), np.stack(noise_b),
+                np.stack(imp_b), np.stack(mask_b),
             )
-            noise_idx = self.rng.integers(0, 256, (2, self.batch_size))
-            imp_idx = self.rng.integers(0, 64, (2, self.batch_size))
-            key = jax.random.fold_in(jax.random.PRNGKey(self.seed + 13), step_idx)
-            params, opt_state, loss, base, hard = self._step_fn(
-                params, opt_state, key, pool, pool_lengths, noise_bank, impulse_bank,
-                text_idx.astype(np.int32), spk.astype(np.int32),
-                noise_idx.astype(np.int32), imp_idx.astype(np.int32),
-                pair_mask,
-            )
-            if step_idx % log_every == 0 or step_idx == steps - 1:
-                loss_val = float(np.asarray(loss))
-                losses.append(loss_val)
-                logger.info(
-                    f"pretrain step {step_idx}/{steps}: loss {loss_val:.4f} "
-                    f"(nt-xent {float(np.asarray(base)):.4f}, "
-                    f"hard-pair {float(np.asarray(hard)):.4f})"
-                )
+            log_rows = [
+                i for i in range(k)
+                if (chunk_start + i) % log_every == 0
+                or chunk_start + i == steps - 1
+            ]
+            if log_rows:
+                # materializing metrics blocks on the chunk; skip entirely
+                # for chunks with nothing to log so dispatches stay queued
+                m = np.asarray(metrics)
+                for i in log_rows:
+                    step_idx = chunk_start + i
+                    losses.append(float(m[i, 0]))
+                    logger.info(
+                        f"pretrain step {step_idx}/{steps}: loss {m[i, 0]:.4f} "
+                        f"(nt-xent {m[i, 1]:.4f}, hard-pair {m[i, 2]:.4f})"
+                    )
 
         self.params = jax.device_get(params)
         self.opt_state = opt_state
