@@ -153,6 +153,65 @@ class PrecalculatedDatasetIterator:
             self._rng.shuffle(self.indexes)
         return self
 
+    # --- HBM-resident serving (trainer device-data plan) ---------------------
+
+    def resident_nbytes(self) -> int:
+        """Bytes resident_features() would occupy, WITHOUT materializing the
+        (possibly memory-mapped) array — used to budget-gate HBM residency."""
+        shape = self.precalculated.shape
+        rows = shape[1] - (1 if self.labeled else 0)
+        return int(len(self.precalculated)) * int(rows) * int(shape[2]) * 4
+
+    def resident_features(self) -> np.ndarray:
+        """Fully materialized, exclude-filtered, label-row-stripped feature
+        rows for HBM-resident training: the trainer uploads this ONCE and
+        steps gather rows by index on device (PERF.md: per-step host batch
+        transfer through the remote tunnel was the wake-word trainer's
+        bottleneck). Unlike take(), the exclude filter applies up front, so
+        every served index is a valid row (same exclusion semantics, no
+        short batches)."""
+        data = np.asarray(self.precalculated)
+        if self.labeled:
+            if self.exclude_phrase is not None and self.exclude_tokens:
+                token_rows = data[:, -1, :].astype(np.int64)
+                exclude = np.fromiter(self.exclude_tokens, dtype=np.int64)
+                mask = ~np.isin(token_rows, exclude).any(axis=1)
+                data = data[mask]
+            data = data[:, :-1]
+        return np.ascontiguousarray(data, dtype=np.float32)
+
+    def take_indices(self, n: int, resident_len: int) -> np.ndarray:
+        """Index-space take over a resident_features() array of
+        ``resident_len`` rows: the same shuffled-cursor wraparound semantics
+        as take(), but yielding row INDICES instead of rows. Keeps its own
+        cursor so interleaved take() calls don't corrupt either stream."""
+        with self.lock:
+            if (
+                getattr(self, "_res_order", None) is None
+                or len(self._res_order) != resident_len
+            ):
+                self._res_order = np.arange(resident_len)
+                if not self.ordered:
+                    self._rng.shuffle(self._res_order)
+                self._res_index = 0
+            out: List[np.ndarray] = []
+            have = 0
+            while have < n and resident_len > 0:
+                remaining = resident_len - self._res_index
+                if remaining <= 0:
+                    self._res_index = 0
+                    if not self.ordered:
+                        self._rng.shuffle(self._res_order)
+                    remaining = resident_len
+                count = min(n - have, remaining)
+                out.append(self._res_order[self._res_index : self._res_index + count])
+                self._res_index += count
+                have += count
+            self.total_taken += have
+            if not out:
+                return np.zeros(0, np.int32)
+            return np.concatenate(out).astype(np.int32)
+
     def take(self, n: int) -> np.ndarray:
         """Take ``n`` rows, wrapping (and reshuffling) at the end of the array."""
         with self.lock:

@@ -43,10 +43,60 @@ from heybuddy_tpu.data.precalculated import (
 )
 from heybuddy_tpu.utils.log import logger
 
-__all__ = ["TrainingDatasetIterator", "WakeWordTrainingDatasetIterator"]
+__all__ = [
+    "TrainingDatasetIterator",
+    "WakeWordTrainingDatasetIterator",
+    "DeviceBatchPlan",
+]
 
 Batch = Tuple[np.ndarray, np.ndarray]
 DatasetSpec = Tuple[PrecalculatedDatasetIterator, int]
+
+
+class DeviceBatchPlan:
+    """
+    HBM-resident serving plan for a WakeWordTrainingDatasetIterator whose
+    sources are all index-addressable arrays: ``pools`` hold each source's
+    exclude-filtered feature rows (the trainer uploads them to device once,
+    and re-uses the uploads across training stages), and ``sample()`` returns
+    per-source row indices with the same shuffled-cursor wraparound semantics
+    as the threaded take() path. Batch-size changes between stages
+    (multiply_batch_size) are picked up live from the iterator's spec lists.
+    """
+
+    def __init__(
+        self,
+        iterator: "WakeWordTrainingDatasetIterator",
+        specs: List[Tuple[PrecalculatedDatasetIterator, int, float]],
+    ) -> None:
+        self.iterator = iterator
+        self.sources: List[Tuple[PrecalculatedDatasetIterator, float]] = [
+            (ds, label) for ds, _, label in specs
+        ]
+        pool_cache: Dict[int, np.ndarray] = {}
+        self.pools: List[np.ndarray] = []
+        for ds, _ in self.sources:
+            if id(ds) not in pool_cache:
+                pool_cache[id(ds)] = ds.resident_features()
+            self.pools.append(pool_cache[id(ds)])
+
+    @property
+    def labels(self) -> Tuple[float, ...]:
+        return tuple(label for _, label in self.sources)
+
+    def counts(self) -> Tuple[int, ...]:
+        by_id = {
+            id(ds): bs
+            for ds, bs in list(self.iterator.positive) + list(self.iterator.negative)
+        }
+        return tuple(by_id[id(ds)] for ds, _ in self.sources)
+
+    def sample(self) -> Tuple[np.ndarray, ...]:
+        counts = self.counts()
+        return tuple(
+            ds.take_indices(bs, len(pool))
+            for (ds, _), pool, bs in zip(self.sources, self.pools, counts)
+        )
 
 
 class TrainingDatasetIterator:
@@ -183,6 +233,37 @@ class WakeWordTrainingDatasetIterator(TrainingDatasetIterator):
                     f"samples ({batch_size} per batch, {taken / max(unique, 1):.2%} seen)"
                 )
         return "\n".join(lines)
+
+    def device_plan(self, max_bytes: int) -> Optional["DeviceBatchPlan"]:
+        """HBM-resident serving plan, or None when any source cannot be
+        index-served (non-array dataset) or the pools exceed ``max_bytes``.
+
+        The trainer uploads each source's resident_features() to device once;
+        every step then sends only per-source row indices (a few KB) instead
+        of the assembled feature batch (~6.8 MB at the reference default
+        composition — the measured per-step bottleneck through the remote
+        device tunnel, PERF.md)."""
+        from heybuddy_tpu.data.precalculated import PrecalculatedDatasetIterator
+
+        specs: List[Tuple[Any, int, float]] = [
+            (ds, bs, 1.0) for ds, bs in self.positive
+        ] + [(ds, bs, 0.0) for ds, bs in self.negative]
+        specs = [(ds, bs, label) for ds, bs, label in specs if bs > 0 and len(ds) > 0]
+        if not specs:
+            return None
+        total = 0
+        for ds, _, _ in specs:
+            if not isinstance(ds, PrecalculatedDatasetIterator):
+                return None
+            total += ds.resident_nbytes()
+        if total > max_bytes:
+            logger.info(
+                f"training data too large for HBM residency "
+                f"({total / 1e9:.2f} GB > {max_bytes / 1e9:.2f} GB budget); "
+                "streaming host batches instead"
+            )
+            return None
+        return DeviceBatchPlan(self, specs)
 
     def multiply_batch_size(self, ratio: float) -> None:
         restart = self.started

@@ -170,6 +170,11 @@ class WakeWordTrainer:
         self._train_step_fn: Optional[Callable[..., Any]] = None
         self._eval_fn: Optional[Callable[..., Any]] = None
         self._step_cache_key: Optional[Tuple[float, float]] = None
+        self._resident_step_fn: Optional[Callable[..., Any]] = None
+        # HBM-resident training data: device pools keyed by source identity
+        # (reused across stages) and cached padded label vectors per counts.
+        self._device_pools: Dict[int, jax.Array] = {}
+        self._resident_y: Dict[Tuple[int, ...], jax.Array] = {}
 
     # --- jitted step construction ------------------------------------------------
 
@@ -187,11 +192,15 @@ class WakeWordTrainer:
             carry: Dict[str, jax.Array],
             x: jax.Array,
             y: jax.Array,
-            rng: jax.Array,
+            base_rng: jax.Array,
+            step_idx: jax.Array,
             lr: jax.Array,
             neg_weight: jax.Array,
         ) -> Tuple[Params, Any, Dict[str, jax.Array], Dict[str, jax.Array]]:
             batch = x.shape[0]
+            # folded INSIDE the jitted step: an eager host-side fold_in is its
+            # own device dispatch, ~3.3 ms through the remote tunnel (PERF.md)
+            rng = jax.random.fold_in(base_rng, step_idx)
 
             def loss_fn(p: Params) -> Tuple[jax.Array, Tuple[jax.Array, ...]]:
                 preds = apply_fn(p, x, train=True, rng=rng)[:, 0]
@@ -267,6 +276,26 @@ class WakeWordTrainer:
             )
             return new_params, new_opt_state, new_carry, metrics
 
+        # HBM-resident variant: batches arrive as per-source row indices into
+        # device-resident feature pools instead of host-assembled arrays —
+        # the per-step host batch transfer (~6.8 MB at the reference default
+        # composition) through the remote tunnel was the trainer's measured
+        # bottleneck (PERF.md). y arrives pre-padded (mesh rows -1); x pads
+        # with zero rows to match.
+        def resident_step(params, opt_state, carry, pools, idxs, y, base_rng,
+                          step_idx, lr, neg_weight):
+            parts = [pool[idx] for pool, idx in zip(pools, idxs)]
+            x = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+            pad = y.shape[0] - x.shape[0]
+            if pad:
+                x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+            if self.mesh is not None:
+                from heybuddy_tpu.parallel.mesh import batch_sharding
+
+                x = jax.lax.with_sharding_constraint(x, batch_sharding(self.mesh))
+            return step(params, opt_state, carry, x, y, base_rng, step_idx, lr, neg_weight)
+
+        self._resident_step_fn = jax.jit(resident_step, donate_argnums=(0, 1, 2))
         return jax.jit(step, donate_argnums=(0, 1, 2))
 
     def _build_eval(self, activation_threshold: float) -> Callable[..., Any]:
@@ -285,6 +314,91 @@ class WakeWordTrainer:
             return {"fp": fp, "tp": tp, "fn": fn, "tn": tn, "n_neg": n_neg}
 
         return jax.jit(evaluate)
+
+    # --- HBM-resident training data ------------------------------------------------
+
+    def _device_data_budget(self) -> int:
+        env = os.environ.get("HEYBUDDY_DEVICE_DATA_BYTES")
+        if env:
+            return int(env)
+        try:
+            stats = jax.devices()[0].memory_stats()
+            if stats and "bytes_limit" in stats:
+                # leave most of HBM to activations/params/feature pipeline
+                return int(stats["bytes_limit"] * 0.35)
+        except Exception:
+            pass
+        return 4 * 1024 ** 3
+
+    def _device_plan_for(self, training: Any) -> Optional[Tuple[Any, Tuple[jax.Array, ...]]]:
+        """(plan, device pools) when the training data can live in HBM.
+
+        Each jitted call through the remote tunnel costs ~3.3 ms and each
+        host-assembled batch ~6.8 MB of host->device transfer (PERF.md) —
+        HBM-resident pools reduce a step's host traffic to a few KB of row
+        indices. Disable with HEYBUDDY_DEVICE_DATA=0.
+        """
+        if os.environ.get("HEYBUDDY_DEVICE_DATA", "1") == "0":
+            return None
+        plan_fn = getattr(training, "device_plan", None)
+        if plan_fn is None:
+            return None
+        # cache per iterator: __call__ consults this before starting producer
+        # threads and train_epoch runs per stage — pools materialize once
+        if not hasattr(self, "_device_plans"):
+            self._device_plans: Dict[int, Any] = {}
+        if id(training) in self._device_plans:
+            plan = self._device_plans[id(training)]
+        else:
+            try:
+                plan = plan_fn(self._device_data_budget())
+            except Exception as ex:  # never fail training over the fast path
+                logger.warning(f"device-resident training unavailable: {ex}")
+                plan = None
+            self._device_plans[id(training)] = plan
+        if plan is None:
+            return None
+        sharding = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            sharding = NamedSharding(self.mesh, PartitionSpec())  # replicate
+        pools: List[jax.Array] = []
+        total = 0
+        for (ds, _), pool in zip(plan.sources, plan.pools):
+            if id(ds) not in self._device_pools:
+                self._device_pools[id(ds)] = (
+                    jax.device_put(pool, sharding) if sharding is not None
+                    else jax.device_put(pool)
+                )
+                total += pool.nbytes
+            pools.append(self._device_pools[id(ds)])
+        if total:
+            logger.info(
+                f"training data HBM-resident: {len(plan.sources)} sources, "
+                f"{total / 1e6:.1f} MB uploaded once; steps send indices only"
+            )
+        return plan, tuple(pools)
+
+    def _resident_labels(self, counts: Tuple[int, ...], labels: Tuple[float, ...]) -> jax.Array:
+        """Padded label vector for a per-source batch composition (cached)."""
+        key = counts
+        if key not in self._resident_y:
+            y = np.concatenate(
+                [np.full(n, label, np.float32) for n, label in zip(counts, labels)]
+            ) if counts else np.zeros(0, np.float32)
+            if self.mesh is not None:
+                from heybuddy_tpu.parallel.mesh import batch_sharding
+
+                n_dev = self.mesh.shape["data"]
+                pad = (-len(y)) % n_dev
+                if pad:
+                    # -1 rows are neither positive nor negative: never mined
+                    y = np.concatenate([y, -np.ones(pad, np.float32)])
+                self._resident_y[key] = jax.device_put(y, batch_sharding(self.mesh))
+            else:
+                self._resident_y[key] = jnp.asarray(y)
+        return self._resident_y[key]
 
     def _device_put_batch(self, x: np.ndarray, y: np.ndarray) -> Tuple[jax.Array, jax.Array]:
         if self.mesh is not None:
@@ -494,7 +608,49 @@ class WakeWordTrainer:
         if first_step:
             logger.info(f"Resuming stage at step {first_step}/{num_steps}")
 
-        for step, (x_np, y_np) in enumerate(training, start=first_step):
+        # HBM-resident fast path: pools uploaded once, steps send row indices
+        # only, and metric fetches batch up to the next log/eval/checkpoint
+        # boundary so queued dispatches stay queued (each host round trip
+        # through the remote tunnel costs ~3.3 ms — PERF.md).
+        device_plan = self._device_plan_for(training)
+        if device_plan is not None:
+            plan, device_pools = device_plan
+            resident_step = self._resident_step_fn
+            step_source: Any = ((s, None) for s in range(first_step, num_steps))
+        else:
+            step_source = enumerate(training, start=first_step)
+
+        pending: List[Tuple[float, float, Any]] = []
+        last_m = np.zeros(6, np.float32)
+
+        def flush_pending() -> None:
+            nonlocal last_m
+            if not pending:
+                return
+            # ONE device stack + ONE fetch for the whole window: fetching the
+            # per-step metric arrays individually measured ~22 ms each through
+            # the remote tunnel (88% of resident-path step time, profiled)
+            if len(pending) == 1:
+                stacked = np.asarray(pending[0][2])[None]
+            else:
+                stacked = np.asarray(jnp.stack([p[2] for p in pending]))
+            for (p_lr, p_nw, _), m in zip(pending, stacked):
+                last_m = m
+                history["learning_rate"].append(p_lr)
+                history["negative_weight"].append(p_nw)
+                did_step = bool(m[4] > 0)
+                if did_step or not history["loss"]:
+                    history["loss"].append(float(m[0]))
+                    history["recall"].append(float(m[2]))
+                    history["false_positive_rate"].append(float(m[3]))
+                else:
+                    history["loss"].append(history["loss"][-1])
+                    history["recall"].append(history["recall"][-1])
+                    history["false_positive_rate"].append(history["false_positive_rate"][-1])
+                history["high_loss_rate"].append(float(m[1]))
+            pending.clear()
+
+        for step, host_batch in step_source:
             if step >= num_steps:
                 break
             lr = get_learning_rate(
@@ -511,28 +667,41 @@ class WakeWordTrainer:
             else:
                 neg_weight = float(negative_weight_schedule[-1])
 
-            x, y = self._device_put_batch(x_np, y_np)
-            rng = jax.random.fold_in(base_rng, step)
-            params, opt_state, carry, metrics = train_step(
-                params, opt_state, carry, x, y, rng, jnp.float32(lr), jnp.float32(neg_weight)
-            )
-            # One host fetch per step: [loss, hard_rate, recall, fp, did_step, n_hard]
-            m = np.asarray(metrics)
-
-            history["learning_rate"].append(lr)
-            history["negative_weight"].append(neg_weight)
-            did_step = bool(m[4] > 0)
-            if did_step or not history["loss"]:
-                history["loss"].append(float(m[0]))
-                history["recall"].append(float(m[2]))
-                history["false_positive_rate"].append(float(m[3]))
+            # numpy scalars ride along with the step dispatch; eager jnp
+            # conversions or a host-side fold_in would each be their own
+            # ~3.3 ms device round trip (PERF.md dispatch tax)
+            step_np = np.int32(step)
+            lr_np = np.float32(lr)
+            nw_np = np.float32(neg_weight)
+            if device_plan is None:
+                x, y = self._device_put_batch(*host_batch)
+                params, opt_state, carry, metrics = train_step(
+                    params, opt_state, carry, x, y, base_rng, step_np, lr_np, nw_np
+                )
             else:
-                history["loss"].append(history["loss"][-1])
-                history["recall"].append(history["recall"][-1])
-                history["false_positive_rate"].append(history["false_positive_rate"][-1])
-            history["high_loss_rate"].append(float(m[1]))
+                idxs = plan.sample()
+                y = self._resident_labels(plan.counts(), plan.labels)
+                params, opt_state, carry, metrics = resident_step(
+                    params, opt_state, carry, device_pools, idxs, y, base_rng,
+                    step_np, lr_np, nw_np,
+                )
+            pending.append((lr, neg_weight, metrics))
 
             ran_eval = step > 0 and step % validation_steps == 0
+            boundary = (
+                device_plan is None
+                or ran_eval
+                or step % log_every == 0
+                or step == num_steps - 1
+                or (step > 0 and step % checkpoint_steps == 0)
+                or (
+                    log_callback is not None
+                    and (step == 0 or step % logging_steps == 0)
+                )
+            )
+            if boundary:
+                flush_pending()
+            m = last_m
             if ran_eval and has_validation:
                 val = self._run_eval(eval_fn, params, validation)
                 hours = val["n_neg"] * CLIP_SECONDS / 3600.0
@@ -593,6 +762,7 @@ class WakeWordTrainer:
                     f"hard={float(m[1]):.3f} lr={lr:.2e} nw={neg_weight:g}"
                 )
 
+        flush_pending()
         self.model.params = jax.device_get(params)
         self.opt_state = jax.device_get(opt_state)
         logger.info(f"{description} finished in {human_duration(time.perf_counter() - epoch_start)}")
@@ -639,8 +809,14 @@ class WakeWordTrainer:
         overall: Dict[str, List[np.ndarray]] = {}
 
         for ds in (training, validation, testing):
-            if ds is not None and hasattr(ds, "start"):
-                ds.start()
+            if ds is None or not hasattr(ds, "start"):
+                continue
+            if ds is training and self._device_plan_for(training) is not None:
+                # HBM-resident training: steps gather rows on device, so the
+                # producer threads (and their ~100-batch host queue) would
+                # only burn RAM assembling batches nobody consumes
+                continue
+            ds.start()
 
         wandb_run = self._maybe_init_wandb(wandb_entity, name, locals())
         log_callback = None
