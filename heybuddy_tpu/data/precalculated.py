@@ -204,7 +204,11 @@ class PrecalculatedDatasetIterator:
                         self._rng.shuffle(self._res_order)
                     remaining = resident_len
                 count = min(n - have, remaining)
-                out.append(self._res_order[self._res_index : self._res_index + count])
+                # .copy(): a view would silently change when the wraparound
+                # reshuffle below mutates _res_order in place
+                out.append(
+                    self._res_order[self._res_index : self._res_index + count].copy()
+                )
                 self._res_index += count
                 have += count
             self.total_taken += have

@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 import queue
 import threading
+import weakref
 from typing import Any, Dict, Iterator, List, Optional, Tuple, Union
 
 import numpy as np
@@ -69,7 +70,10 @@ class DeviceBatchPlan:
         iterator: "WakeWordTrainingDatasetIterator",
         specs: List[Tuple[PrecalculatedDatasetIterator, int, float]],
     ) -> None:
-        self.iterator = iterator
+        # weak: the trainer caches plans keyed by iterator identity with
+        # weakref eviction — a strong reference here would pin the iterator
+        # (and its HBM pools) forever
+        self._iterator_ref = weakref.ref(iterator)
         self.sources: List[Tuple[PrecalculatedDatasetIterator, float]] = [
             (ds, label) for ds, _, label in specs
         ]
@@ -85,9 +89,12 @@ class DeviceBatchPlan:
         return tuple(label for _, label in self.sources)
 
     def counts(self) -> Tuple[int, ...]:
+        iterator = self._iterator_ref()
+        if iterator is None:
+            raise RuntimeError("DeviceBatchPlan outlived its training iterator")
         by_id = {
             id(ds): bs
-            for ds, bs in list(self.iterator.positive) + list(self.iterator.negative)
+            for ds, bs in list(iterator.positive) + list(iterator.negative)
         }
         return tuple(by_id[id(ds)] for ds, _ in self.sources)
 

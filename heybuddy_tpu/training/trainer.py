@@ -32,6 +32,7 @@ import json
 import os
 import pickle
 import time
+import weakref
 from typing import Any, Callable, Dict, List, Optional, Tuple, Union
 
 import jax
@@ -95,6 +96,9 @@ def get_learning_rate(
     if hold_steps > 0 and step <= warmup_steps + hold_steps:
         lr = target_learning_rate
     return float(warmup_lr if step < warmup_steps else lr)
+
+
+_CACHE_MISS = object()  # sentinel: None is a legitimate cached plan value
 
 
 def _init_carry() -> Dict[str, jax.Array]:
@@ -172,9 +176,23 @@ class WakeWordTrainer:
         self._step_cache_key: Optional[Tuple[float, float]] = None
         self._resident_step_fn: Optional[Callable[..., Any]] = None
         # HBM-resident training data: device pools keyed by source identity
-        # (reused across stages) and cached padded label vectors per counts.
-        self._device_pools: Dict[int, jax.Array] = {}
+        # (reused across stages, weakref-validated — see _cache_get) and
+        # cached padded label vectors per counts.
+        self._device_pools: Dict[int, Tuple[Any, Any]] = {}
+        self._device_plans: Dict[int, Tuple[Any, Any]] = {}
         self._resident_y: Dict[Tuple[int, ...], jax.Array] = {}
+
+    @staticmethod
+    def _cache_get(cache: Dict[int, Tuple[Any, Any]], obj: Any) -> Any:
+        entry = cache.get(id(obj))
+        if entry is not None and entry[0]() is obj:
+            return entry[1]
+        return _CACHE_MISS
+
+    @staticmethod
+    def _cache_put(cache: Dict[int, Tuple[Any, Any]], obj: Any, value: Any) -> None:
+        key = id(obj)
+        cache[key] = (weakref.ref(obj, lambda _: cache.pop(key, None)), value)
 
     # --- jitted step construction ------------------------------------------------
 
@@ -344,18 +362,19 @@ class WakeWordTrainer:
         if plan_fn is None:
             return None
         # cache per iterator: __call__ consults this before starting producer
-        # threads and train_epoch runs per stage — pools materialize once
-        if not hasattr(self, "_device_plans"):
-            self._device_plans: Dict[int, Any] = {}
-        if id(training) in self._device_plans:
-            plan = self._device_plans[id(training)]
-        else:
+        # threads and train_epoch runs per stage — pools materialize once.
+        # id()-keyed entries validate against a weakref (a dead object's id
+        # can be reused by a NEW iterator — returning its predecessor's plan
+        # would silently train on the wrong data) and self-evict on gc so
+        # their HBM pools free.
+        plan = self._cache_get(self._device_plans, training)
+        if plan is _CACHE_MISS:
             try:
                 plan = plan_fn(self._device_data_budget())
             except Exception as ex:  # never fail training over the fast path
                 logger.warning(f"device-resident training unavailable: {ex}")
                 plan = None
-            self._device_plans[id(training)] = plan
+            self._cache_put(self._device_plans, training, plan)
         if plan is None:
             return None
         sharding = None
@@ -366,13 +385,15 @@ class WakeWordTrainer:
         pools: List[jax.Array] = []
         total = 0
         for (ds, _), pool in zip(plan.sources, plan.pools):
-            if id(ds) not in self._device_pools:
-                self._device_pools[id(ds)] = (
+            dev = self._cache_get(self._device_pools, ds)
+            if dev is _CACHE_MISS:
+                dev = (
                     jax.device_put(pool, sharding) if sharding is not None
                     else jax.device_put(pool)
                 )
+                self._cache_put(self._device_pools, ds, dev)
                 total += pool.nbytes
-            pools.append(self._device_pools[id(ds)])
+            pools.append(dev)
         if total:
             logger.info(
                 f"training data HBM-resident: {len(plan.sources)} sources, "
