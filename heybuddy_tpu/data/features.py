@@ -267,7 +267,14 @@ class TrainingFeaturesGenerator:
         # namespace so mixed fused/fallback runs never reuse augment draws.
         base_key = jax.random.fold_in(
             jax.random.PRNGKey(self.seed + seed_offset), 777)
-        batch_size = self.augment_batch_size
+        # The fused path stages only ~18 KB of plan tracks per clip on the
+        # host, so its dispatch batch is not bound by the host-RAM tier that
+        # sizes augment_batch_size. Bigger batches amortize the ~3.3 ms
+        # dispatch tax AND the ~0.2 s device->host drain latency per batch
+        # (PERF.md) — the measured production-pipeline bottleneck.
+        batch_size = int(os.environ.get("HEYBUDDY_FUSED_TTS_BATCH", "0")) or max(
+            self.augment_batch_size, 512
+        )
         written = 0
         batch_index = 0
         plans: List[Any] = []
@@ -289,6 +296,12 @@ class TrainingFeaturesGenerator:
             return take
 
         def dispatch(batch_plans: List[Any], index: int) -> Any:
+            # tail batches bucket to the next power of two instead of padding
+            # all the way to batch_size: a 5-plan tail padded to 512 would
+            # render 100x junk (and on the CPU test mesh, take 100x longer)
+            bucket = 1
+            while bucket < len(batch_plans):
+                bucket *= 2
             return fused_features_batch(
                 batch_plans,
                 embeddings.params,
@@ -300,7 +313,7 @@ class TrainingFeaturesGenerator:
                 l_max=tts.planner.max_samples,
                 harmonics=tts.harmonics,
                 clip_samples=cfg.target_samples,
-                pad_to=batch_size,
+                pad_to=min(batch_size, bucket),
             )
 
         for sample in samples:

@@ -64,7 +64,7 @@ def time_tts(n: int, seed: int, backend: str = "formant",
 
 
 def time_pipeline(n: int, seed: int, tmpdir: str,
-                  backend: str = "formant") -> float:
+                  backend: str = "formant", warm: int = 8) -> float:
     """TTS -> augment -> featurize -> shard store, the production path."""
     from heybuddy_tpu.data.features import TrainingFeaturesGenerator
     from heybuddy_tpu.utils.npy import AppendableNpyFile
@@ -75,8 +75,12 @@ def time_pipeline(n: int, seed: int, tmpdir: str,
     )
     store = AppendableNpyFile(
         os.path.join(tmpdir, f"e2e-probe-{backend}.npy"))
-    # warm the jitted augment+featurize programs on a tiny run
-    gen.generate(8, store=store, seed_offset=900000)
+    # Warm the jitted augment+featurize programs. ``warm`` must cover one
+    # FULL dispatch batch of the generator (512 on the fused device path):
+    # an 8-clip warm run compiles only the 8-bucket program and the timed
+    # window then pays the production program's compile + per-process load
+    # (measured: 844 -> 98 clips/s when the warm-up misses the shape).
+    gen.generate(warm, store=store, seed_offset=900000)
     t0 = time.time()
     written = gen.generate(n, store=store, seed_offset=0)
     dt = time.time() - t0
@@ -183,8 +187,12 @@ def main() -> None:
         time_pipeline(args.clips, args.seed, tmpdir), 2
     )
     print(f"pipeline (TTS+augment+featurize): {results['pipeline_clips_per_s']} clips/s")
+    # The fused device path dispatches 512-clip batches; warm with one full
+    # batch and time over enough clips to amortize the probe's fixed
+    # per-generate costs (plan build, final drain, shard writes).
     results["pipeline_device_clips_per_s"] = round(
-        time_pipeline(args.clips, args.seed, tmpdir, backend="formant-device"), 2
+        time_pipeline(max(args.clips, 2048), args.seed, tmpdir,
+                      backend="formant-device", warm=512), 2
     )
     print(
         "pipeline (device TTS): "
