@@ -325,6 +325,12 @@ def combine(
 @click.option("--validation-positive-batch-size", type=int, default=DEFAULT_VALIDATION_POSITIVE_BATCH_SIZE)
 @click.option("--validation-negative-batch-size", type=int, default=DEFAULT_VALIDATION_NEGATIVE_BATCH_SIZE)
 @click.option("--validation-samples", type=int, default=DEFAULT_VALIDATION_SAMPLES)
+@click.option("--validation-stream-negative-samples", type=int, default=0, show_default=True,
+              help="Generate this many sliding-window stream negatives for the "
+                   "validation set (disjoint seeds from the training stream). "
+                   "Without hosted negative sets, validation otherwise has NO "
+                   "negatives and the dynamic fp-per-hour controller never "
+                   "engages in air-gapped runs.")
 @click.option("--testing-positive-samples", type=int, default=DEFAULT_TESTING_POSITIVE_SAMPLES)
 @click.option("--testing-adversarial-samples", type=int, default=DEFAULT_TESTING_ADVERSARIAL_SAMPLES)
 @click.option("--checkpoint-dir", type=str, default="./checkpoints", show_default=True)
@@ -409,6 +415,7 @@ def train(phrase: str, **kwargs: Any) -> None:
             training.negative.append((custom, DEFAULT_NEGATIVE_BATCH_SIZE))
 
         validation_samples = kwargs.pop("validation_samples")
+        validation_stream_negatives = kwargs.pop("validation_stream_negative_samples")
         validation = None
         if validation_samples > 0:
             validation = WakeWordTrainingDatasetIterator.validation(
@@ -416,6 +423,7 @@ def train(phrase: str, **kwargs: Any) -> None:
                 validation_samples=validation_samples,
                 positive_batch_size=kwargs.pop("validation_positive_batch_size"),
                 negative_batch_size=kwargs.pop("validation_negative_batch_size"),
+                stream_negative_samples=validation_stream_negatives,
                 **feature_kwargs,
             )
         else:

@@ -66,6 +66,7 @@ def test_cli_train_convert_predict_listen(seeded_env):
             "train", "hey buddy",
             "--positive-samples", "24", "--adversarial-samples", "24",
             "--validation-samples", "12",
+            "--validation-stream-negative-samples", "8",
             "--testing-positive-samples", "12", "--testing-adversarial-samples", "12",
             "--steps", "40", "--stages", "1", "--validation-steps", "30",
             "--checkpoint-steps", "1000",
