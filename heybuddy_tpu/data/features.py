@@ -18,7 +18,7 @@ store absorbing output incrementally.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Iterator, List, Optional, Union
+from typing import Any, Dict, Iterator, List, Optional, Tuple, Union
 
 import numpy as np
 
@@ -627,14 +627,24 @@ class TrainingFeaturesGenerator:
                 tts_backend=self.tts_backend,
                 **generator_kwargs,
             )
-            self._featurize_stream(
-                speech(missing),
-                pad_only=False,
-                store=store,
-                limit=missing,
-                seed_offset=existing + _SEED_NAMESPACE * (5 if testing else 4),
-                config=config,
-            )
+            if self._use_fused_pipeline():
+                self._featurize_plan_stream(
+                    speech(missing, yield_plans=True),
+                    pad_only=False,
+                    store=store,
+                    limit=missing,
+                    seed_offset=existing + _SEED_NAMESPACE * (5 if testing else 4),
+                    config=config,
+                )
+            else:
+                self._featurize_stream(
+                    speech(missing),
+                    pad_only=False,
+                    store=store,
+                    limit=missing,
+                    seed_offset=existing + _SEED_NAMESPACE * (5 if testing else 4),
+                    config=config,
+                )
         else:
             logger.info(f"Using {num_samples} cached clean-offset features for '{name}'")
         return PrecalculatedDatasetIterator(name, directory=self.directory, seed=self.seed)
@@ -662,7 +672,6 @@ class TrainingFeaturesGenerator:
         """
         from heybuddy_tpu.data.streams import (
             RUNTIME_WINDOW_STRIDE,
-            stream_window_clips,
             stream_window_count,
             synth_adversarial_stream,
             synth_speech_stream,
@@ -691,36 +700,46 @@ class TrainingFeaturesGenerator:
         if existing < num_samples:
             missing = num_samples - existing
             logger.info(f"Generating {missing} {kind} window features for '{name}'")
+            from heybuddy_tpu.models.featurizer import STREAM_SEGMENT_WINDOWS
+
             embeddings = get_speech_embeddings()
             stride = RUNTIME_WINDOW_STRIDE
             written = 0
-            while written < missing:
-                # Bounded segments keep host memory flat: ~2 min of stream
-                # yields ~1000 windows per featurization pass. Seeding by the
-                # absolute row offset keeps top-ups reproducible.
-                seg_windows = min(missing - written, 1000)
-                seg_seconds = (seg_windows * stride + CLIP_SAMPLES) / 16000.0
-                seg_seed = seed + 7919 * (existing + written)
-                if adversarial:
-                    stream = synth_adversarial_stream(
-                        self.phrase, seg_seconds / 60.0, seg_seed,
-                        tts_backend=self.tts_backend,
+            pending: Optional[Tuple[Any, int]] = None
+            while written < missing or pending is not None:
+                # Bounded segments keep host memory flat (~2 min of stream per
+                # featurization pass). Seeding by the absolute row offset keeps
+                # top-ups reproducible. The segment uploads ONCE and is
+                # windowed on device (featurize_stream_device) — sending every
+                # overlapping window cost 12x the bytes on the ~15 MB/s
+                # host->device link. Double-buffered: the next segment
+                # synthesizes on the host while the device featurizes the
+                # previous one.
+                dispatched = None
+                if written < missing:
+                    seg_windows = min(missing - written, STREAM_SEGMENT_WINDOWS)
+                    seg_seconds = (seg_windows * stride + CLIP_SAMPLES) / 16000.0
+                    seg_seed = seed + 7919 * (existing + written)
+                    if adversarial:
+                        stream = synth_adversarial_stream(
+                            self.phrase, seg_seconds / 60.0, seg_seed,
+                            tts_backend=self.tts_backend,
+                        )
+                    else:
+                        stream = synth_speech_stream(
+                            seg_seconds / 60.0, seg_seed, exclude_phrase=self.phrase,
+                            tts_backend=self.tts_backend,
+                        )
+                    n = min(stream_window_count(stream), seg_windows)
+                    device_arr, n_real = embeddings.featurize_stream_device(
+                        stream, n, stride
                     )
-                else:
-                    stream = synth_speech_stream(
-                        seg_seconds / 60.0, seg_seed, exclude_phrase=self.phrase,
-                        tts_backend=self.tts_backend,
-                    )
-                n = min(stream_window_count(stream), seg_windows)
-                for i in range(0, n, self.embed_batch_size):
-                    take = min(self.embed_batch_size, n - i, missing - written)
-                    if take <= 0:
-                        break
-                    clips = stream_window_clips(stream, start=i, count=take)
-                    device_arr, n_real = embeddings.featurize_device(clips)
-                    feats = np.asarray(device_arr)[:n_real]
-                    store.append(feats.astype(np.float32))
+                    dispatched = (device_arr, n_real)
                     written += n_real
+                if pending is not None:
+                    device_arr, n_real = pending
+                    store.append(np.asarray(device_arr)[:n_real].astype(np.float32))
+                pending = dispatched
         else:
             logger.info(f"Using {num_samples} cached {kind} window features for '{name}'")
         return PrecalculatedDatasetIterator(name, directory=self.directory, seed=seed)
@@ -778,8 +797,15 @@ class TrainingFeaturesGenerator:
                     if k not in ("custom_adversarial_texts", "num_adversarial_texts")
                 },
             )
-            self._featurize_stream(
-                speech(missing), pad_only=False, store=store, limit=missing,
-                seed_offset=existing + _SEED_NAMESPACE * 6,
-            )
+            if self._use_fused_pipeline():
+                self._featurize_plan_stream(
+                    speech(missing, yield_plans=True), pad_only=False,
+                    store=store, limit=missing,
+                    seed_offset=existing + _SEED_NAMESPACE * 6,
+                )
+            else:
+                self._featurize_stream(
+                    speech(missing), pad_only=False, store=store, limit=missing,
+                    seed_offset=existing + _SEED_NAMESPACE * 6,
+                )
         return PrecalculatedDatasetIterator(name, directory=self.directory, seed=seed)

@@ -27,6 +27,7 @@ clips only and relies on its hosted real-speech negative sets.
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Sequence, Tuple, Union
 
 import numpy as np
@@ -65,9 +66,14 @@ def texts_to_stream(
     from heybuddy_tpu.data.tts_generator import SpeechSampleGenerator
 
     rng = np.random.default_rng(seed)
+    # The device renderer amortizes one jitted dispatch per batch (~3.3 ms
+    # tax, PERF.md), so feed it full batches; the host renderer keeps the
+    # small batch to bound staging RAM.
+    resolved = tts_backend or os.environ.get("HEYBUDDY_TTS_BACKEND")
+    batch_size = 128 if resolved in ("formant-device", "device") else 8
     gen = SpeechSampleGenerator(
-        texts[0], additional_phrases=list(texts[1:]), batch_size=8, seed=seed,
-        tts_backend=tts_backend, phrase_augment_prob=0.0,
+        texts[0], additional_phrases=list(texts[1:]), batch_size=batch_size,
+        seed=seed, tts_backend=tts_backend, phrase_augment_prob=0.0,
     )
     total = int(minutes * 60 * sample_rate)
     out = np.zeros(total, dtype=np.float32)

@@ -155,6 +155,12 @@ def _jitted_featurize(compute_dtype_name: str) -> Any:
     return jax.jit(functools.partial(featurize_batch, compute_dtype=dtype))
 
 
+# Stream featurization segment size (windows per compiled dispatch). One
+# fixed shape: shorter segments zero-pad, so every stream length reuses the
+# same compiled program (remote compiles cost 40-500 s on the axon tunnel).
+STREAM_SEGMENT_WINDOWS = 1024
+
+
 def _padded_rows(b: int, multiple: int) -> int:
     """
     Padded batch size bounding the number of distinct compiled shapes: small
@@ -207,6 +213,8 @@ class SpeechEmbeddings:
             self.backend = "trunkpool"
             self._fn = _jitted_featurize(self.compute_dtype.name)
         self._space_id: Optional[str] = None
+        self._stream_fn: Optional[Any] = None
+        self._stream_fn_stride: Optional[int] = None
 
     @property
     def space_id(self) -> str:
@@ -223,6 +231,42 @@ class SpeechEmbeddings:
                 [mono, np.zeros((pad_b,) + mono.shape[1:], dtype=np.float32)], axis=0
             )
         return mono
+
+    def featurize_stream_device(
+        self, stream: np.ndarray, count: int, stride: int
+    ) -> Tuple[jax.Array, int]:
+        """
+        Featurize ``count`` sliding windows (CLIP_SAMPLES wide, ``stride``
+        apart) of a continuous float32 stream in [-1, 1], with the windows
+        gathered ON DEVICE: the host uploads the raw stream segment once
+        (~8 MB) instead of every overlapping window — at the runtime's 1920
+        stride that is 12x fewer bytes over the host->device link, which is
+        the bottleneck for stream featurization (PERF.md: ~15 MB/s sustained
+        on the axon tunnel). One compiled shape: segments zero-pad to
+        STREAM_SEGMENT_WINDOWS windows and rows past ``count`` are padding.
+        Returns the device array and the real row count.
+        """
+        from heybuddy_tpu.constants import CLIP_SAMPLES
+
+        seg_windows = STREAM_SEGMENT_WINDOWS
+        count = min(count, seg_windows)
+        seg_len = (seg_windows - 1) * stride + CLIP_SAMPLES
+        if self._stream_fn is None or self._stream_fn_stride != stride:
+            raw_fn = self._fn  # jitted; nesting under jit just inlines the trace
+
+            def stream_featurize(params: Params, seg: jax.Array) -> jax.Array:
+                starts = jnp.arange(seg_windows, dtype=jnp.int32) * stride
+                windows = jax.vmap(
+                    lambda s: jax.lax.dynamic_slice(seg, (s,), (CLIP_SAMPLES,))
+                )(starts)
+                return raw_fn(params, windows * 32767.0)
+
+            self._stream_fn = jax.jit(stream_featurize)
+            self._stream_fn_stride = stride
+        seg = np.zeros(seg_len, dtype=np.float32)
+        take = min(len(stream), seg_len)
+        seg[:take] = stream[:take]
+        return self._stream_fn(self.params, jnp.asarray(seg)), count
 
     def featurize_device(self, audio_batch: np.ndarray) -> Tuple[jax.Array, int]:
         """
