@@ -546,8 +546,13 @@ class TrainingFeaturesGenerator:
                 tts_backend=self.tts_backend,
                 **generator_kwargs,
             )
-            self._featurize_stream(
-                speech(missing),
+            featurize = (
+                self._featurize_plan_stream
+                if self._use_fused_pipeline()
+                else self._featurize_stream
+            )
+            featurize(
+                speech(missing, yield_plans=self._use_fused_pipeline()),
                 pad_only=False,
                 store=store,
                 limit=missing,

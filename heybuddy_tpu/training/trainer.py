@@ -181,6 +181,8 @@ class WakeWordTrainer:
         self._device_pools: Dict[int, Tuple[Any, Any]] = {}
         self._device_plans: Dict[int, Tuple[Any, Any]] = {}
         self._resident_y: Dict[Tuple[int, ...], jax.Array] = {}
+        # label vectors for HBM-resident eval pools, keyed (rows, label)
+        self._eval_labels: Dict[Tuple[int, float], jax.Array] = {}
 
     @staticmethod
     def _cache_get(cache: Dict[int, Tuple[Any, Any]], obj: Any) -> Any:
@@ -793,6 +795,27 @@ class WakeWordTrainer:
         self, eval_fn: Callable[..., Any], params: Params, dataset: DatasetType
     ) -> Dict[str, float]:
         totals = {"fp": 0.0, "tp": 0.0, "fn": 0.0, "tn": 0.0, "n_neg": 0.0}
+        resident = self._device_plan_for(dataset)
+        if resident is not None:
+            # HBM-resident eval: score each source pool exactly once per eval
+            # in ONE dispatch per source. The streamed path below hauls the
+            # whole set through host-assembled batches every eval (~6.5 MB and
+            # a dispatch per batch; at the reference default validation scale
+            # that is 500+ batches ≈ 4 min per eval through the remote tunnel
+            # — it dominated end-to-end training wall-clock 60x over the
+            # steps themselves). Exact single-pass counts also remove the
+            # wraparound resampling noise from fp_per_hour's denominator.
+            plan, pools = resident
+            for (_, label), pool in zip(plan.sources, pools):
+                key = (int(pool.shape[0]), float(label))
+                y = self._eval_labels.get(key)
+                if y is None:
+                    y = jnp.full((pool.shape[0],), label, dtype=jnp.float32)
+                    self._eval_labels[key] = y
+                out = jax.device_get(eval_fn(params, pool, y))
+                for k in totals:
+                    totals[k] += float(out[k])
+            return totals
         for x_np, y_np in dataset:
             x, y = self._device_put_batch(x_np, y_np)
             out = eval_fn(params, x, y)
@@ -832,8 +855,8 @@ class WakeWordTrainer:
         for ds in (training, validation, testing):
             if ds is None or not hasattr(ds, "start"):
                 continue
-            if ds is training and self._device_plan_for(training) is not None:
-                # HBM-resident training: steps gather rows on device, so the
+            if self._device_plan_for(ds) is not None:
+                # HBM-resident data: steps/evals gather rows on device, so the
                 # producer threads (and their ~100-batch host queue) would
                 # only burn RAM assembling batches nobody consumes
                 continue

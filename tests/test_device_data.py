@@ -105,3 +105,33 @@ def test_device_pool_cache_evicts_on_gc(tmp_path):
     gc.collect()
     assert not trainer._device_plans  # weakref callbacks evicted entries
     assert not trainer._device_pools
+
+
+def test_resident_eval_counts_match_direct_forward(tmp_path):
+    """HBM-resident eval must produce exactly the counts a direct forward over
+    each full source pool gives (one exact pass, no wraparound resampling)."""
+    import jax.numpy as jnp
+
+    eval_ds = _iterator(seed=7)
+    trainer = WakeWordTrainer(checkpoint_dir=str(tmp_path), seed=0)
+    eval_fn = trainer._build_eval(activation_threshold=0.5)
+    params = trainer.model.params
+
+    totals = trainer._run_eval(eval_fn, params, eval_ds)
+
+    plan = eval_ds.device_plan(max_bytes=1 << 30)
+    assert plan is not None  # resident path must have engaged
+    expect = {"fp": 0.0, "tp": 0.0, "fn": 0.0, "tn": 0.0, "n_neg": 0.0}
+    for (_, label), pool in zip(plan.sources, plan.pools):
+        preds = np.asarray(trainer.model.apply(params, jnp.asarray(pool), train=False))[:, 0]
+        if label == 1.0:
+            expect["tp"] += float((preds > 0.5).sum())
+            expect["fn"] += float((preds <= 0.5).sum())
+        else:
+            expect["fp"] += float((preds >= 0.5).sum())
+            expect["tn"] += float((preds < 0.5).sum())
+            expect["n_neg"] += float(len(preds))
+    assert totals == expect
+    # label vectors are cached by (rows, label); a second eval reuses them
+    totals2 = trainer._run_eval(eval_fn, params, eval_ds)
+    assert totals2 == totals
