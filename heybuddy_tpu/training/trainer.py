@@ -601,6 +601,7 @@ class WakeWordTrainer:
         opt_state = self.opt_state
         carry = _init_carry()
         base_rng = jax.random.PRNGKey(self.seed + 1)
+        quantum_warned = False
 
         history: Dict[str, List[float]] = {
             k: []
@@ -730,6 +731,23 @@ class WakeWordTrainer:
                 hours = val["n_neg"] * CLIP_SECONDS / 3600.0
                 fp_per_hour = val["fp"] / max(hours, 1e-9)
                 val_recall = val["tp"] / max(val["tp"] + val["fn"], 1.0)
+                if (
+                    negative_weight_adjust_ratio is not None
+                    and not quantum_warned
+                    and hours > 0
+                    and 1.0 / hours > target_false_positive_rate
+                ):
+                    quantum_warned = True
+                    logger.warning(
+                        f"validation set spans {hours:.2f} negative-hours, so ONE "
+                        f"false-positive clip already measures "
+                        f"{1.0 / hours:.2f} fp/hr > the {target_false_positive_rate} "
+                        f"target: the negative-weight controller can only settle at "
+                        f"ZERO validation FPs, which over-weights negatives and "
+                        f"raises FRR. Provide >= "
+                        f"{int(3600.0 / (CLIP_SECONDS * target_false_positive_rate)) + 1} "
+                        f"negative validation samples to resolve the target."
+                    )
                 history["validation_false_positive_per_hour"].append(fp_per_hour)
                 history["validation_recall"].append(val_recall)
                 if negative_weight_adjust_ratio is not None:

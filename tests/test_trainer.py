@@ -163,3 +163,45 @@ def test_checkpoint_records_current_step_and_resume_fast_forwards(tmp_path):
     # Only the remaining 3 steps run, and the resumed counter is consumed.
     assert len(history["loss"]) == 3
     assert resumed.start_step == 0
+
+
+def test_quantization_warning_for_tiny_validation_sets(tmp_path):
+    """A validation set too small to resolve the fp/hr target warns once:
+    one FP clip in 64 negatives already measures 1/(64*1.44s) = 39 fp/hr,
+    so the controller could only settle at zero FPs (over-weighting
+    negatives and raising FRR). Found when the exact HBM-resident eval
+    replaced the wraparound-resampled one and exposed the quantization."""
+    import logging
+
+    class TinyValidation:
+        def __iter__(self):
+            x = np.random.default_rng(2).normal(size=(64, 16, 96)).astype(np.float32)
+            y = np.zeros(64, dtype=np.float32)
+            yield x, y
+
+    records = []
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    handler = Capture(level=logging.WARNING)
+    logging.getLogger("heybuddy").addHandler(handler)  # propagate=False upstream
+    try:
+        trainer = WakeWordTrainer(checkpoint_dir=str(tmp_path), num_layers=0)
+        trainer.train_epoch(
+            ToyIterator(bs=8),
+            validation=TinyValidation(),
+            num_steps=25,
+            validation_steps=10,
+            checkpoint_steps=1000,
+            negative_weight_schedule=1.0,
+            negative_weight_adjust_ratio=2.0,
+            target_false_positive_rate=1.5,
+            learning_rate=0.0,
+        )
+    finally:
+        logging.getLogger("heybuddy").removeHandler(handler)
+    msgs = [m for m in records if "controller" in m]
+    assert len(msgs) == 1, msgs
+    assert "ZERO validation FPs" in msgs[0]
