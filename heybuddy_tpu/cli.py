@@ -269,6 +269,12 @@ def combine(
 @click.option("--high-loss-threshold", type=float, default=DEFAULT_HIGH_LOSS_THRESHOLD, show_default=True)
 @click.option("--target-false-positive-rate", type=float,
               default=DEFAULT_TARGET_FALSE_POSITIVE_RATE, show_default=True)
+@click.option("--validation-gate-consecutive", type=int, default=1, show_default=True,
+              help="Gate stream-window validation negatives like the deployed "
+                   "runtime: count a false accept only after this many "
+                   "consecutive windows score above threshold (1 = the "
+                   "reference's single-window firing). Applies to validation "
+                   "sources tagged as ordered stream windows.")
 @click.option("--dynamic-negative-weight/--no-dynamic-negative-weight", default=True, is_flag=True)
 @click.option("--negative-weight", type=float, default=DEFAULT_NEGATIVE_WEIGHT, show_default=True)
 @click.option("--training-large-default-dataset", "training_default_size", flag_value="large")
@@ -477,6 +483,7 @@ def train(phrase: str, **kwargs: Any) -> None:
             validation_steps=kwargs.pop("validation_steps"),
             checkpoint_steps=kwargs.pop("checkpoint_steps"),
             target_false_positive_rate=kwargs.pop("target_false_positive_rate"),
+            validation_gate_consecutive=kwargs.pop("validation_gate_consecutive"),
             dynamic_negative_weight=kwargs.pop("dynamic_negative_weight"),
             learning_rate=kwargs.pop("learning_rate"),
             high_loss_threshold=kwargs.pop("high_loss_threshold"),

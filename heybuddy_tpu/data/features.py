@@ -747,7 +747,12 @@ class TrainingFeaturesGenerator:
                 pending = dispatched
         else:
             logger.info(f"Using {num_samples} cached {kind} window features for '{name}'")
-        return PrecalculatedDatasetIterator(name, directory=self.directory, seed=seed)
+        iterator = PrecalculatedDatasetIterator(name, directory=self.directory, seed=seed)
+        # Rows are stored in temporal order at the runtime stride: mark the
+        # source so gate-aware consumers (trainer validation) can count fires
+        # per true stream hour instead of per overlapping-window "clip".
+        iterator.stream_stride_seconds = RUNTIME_WINDOW_STRIDE / 16000.0
+        return iterator
 
     def get_negative_speech_features(
         self,

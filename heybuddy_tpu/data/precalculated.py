@@ -40,7 +40,17 @@ class PrecalculatedDatasetIterator:
     Iterator over a memory-mapped ``.npy`` feature array with a shuffled index,
     wraparound ``take``, and exclude-phrase filtering for labeled arrays
     (reference precalculated.py:365-573).
+
+    ``stream_stride_seconds`` marks a source whose STORED ROW ORDER is the
+    temporal order of overlapping sliding windows cut from a continuous
+    stream at that stride (``TrainingFeaturesGenerator.
+    get_stream_window_features`` sets it to the runtime's 0.12 s). Consumers
+    that evaluate whole pools in order (the trainer's HBM-resident
+    validation) use it to count deployment-gated detections per true stream
+    hour instead of treating overlapping windows as independent clips.
     """
+
+    stream_stride_seconds: Optional[float] = None
 
     def __init__(
         self,

@@ -173,6 +173,7 @@ class WakeWordTrainer:
         self.resumed_negative_weight: Optional[float] = None
         self._train_step_fn: Optional[Callable[..., Any]] = None
         self._eval_fn: Optional[Callable[..., Any]] = None
+        self._preds_fn: Optional[Callable[..., Any]] = None
         self._step_cache_key: Optional[Tuple[float, float]] = None
         self._resident_step_fn: Optional[Callable[..., Any]] = None
         # HBM-resident training data: device pools keyed by source identity
@@ -317,6 +318,16 @@ class WakeWordTrainer:
 
         self._resident_step_fn = jax.jit(resident_step, donate_argnums=(0, 1, 2))
         return jax.jit(step, donate_argnums=(0, 1, 2))
+
+    def _build_preds(self) -> Callable[..., Any]:
+        """Jitted per-row scores for whole-pool, in-order evaluation (the
+        gate-aware stream validation path)."""
+        apply_fn = self.model.apply
+
+        def predict(params: Params, x: jax.Array) -> jax.Array:
+            return apply_fn(params, x, train=False)[:, 0]
+
+        return jax.jit(predict)
 
     def _build_eval(self, activation_threshold: float) -> Callable[..., Any]:
         apply_fn = self.model.apply
@@ -568,6 +579,8 @@ class WakeWordTrainer:
         negative_weight_schedule: Union[float, List[float]] = DEFAULT_NEGATIVE_WEIGHT,
         negative_weight_adjust_ratio: Optional[float] = None,
         target_false_positive_rate: float = DEFAULT_TARGET_FALSE_POSITIVE_RATE,
+        validation_gate_consecutive: int = 1,
+        validation_gate_debounce_windows: int = 16,
         validation_steps: int = DEFAULT_VALIDATION_STEPS,
         checkpoint_steps: int = DEFAULT_CHECKPOINT_STEPS,
         logging_steps: int = DEFAULT_LOGGING_STEPS,
@@ -727,9 +740,19 @@ class WakeWordTrainer:
                 flush_pending()
             m = last_m
             if ran_eval and has_validation:
-                val = self._run_eval(eval_fn, params, validation)
-                hours = val["n_neg"] * CLIP_SECONDS / 3600.0
-                fp_per_hour = val["fp"] / max(hours, 1e-9)
+                val = self._run_eval(
+                    eval_fn,
+                    params,
+                    validation,
+                    gate_consecutive=validation_gate_consecutive,
+                    gate_debounce_windows=validation_gate_debounce_windows,
+                    gate_threshold=activation_threshold,
+                )
+                # Pooled false accepts per hour of negative audio: per-clip
+                # FPs over disjoint-clip hours PLUS deployment-gated fire
+                # events over true stream hours (see _run_eval).
+                hours = val["n_neg"] * CLIP_SECONDS / 3600.0 + val["stream_hours"]
+                fp_per_hour = (val["fp"] + val["gated_fp"]) / max(hours, 1e-9)
                 val_recall = val["tp"] / max(val["tp"] + val["fn"], 1.0)
                 if (
                     negative_weight_adjust_ratio is not None
@@ -738,15 +761,17 @@ class WakeWordTrainer:
                     and 1.0 / hours > target_false_positive_rate
                 ):
                     quantum_warned = True
+                    need_hours = 1.0 / target_false_positive_rate
                     logger.warning(
                         f"validation set spans {hours:.2f} negative-hours, so ONE "
-                        f"false-positive clip already measures "
+                        f"false accept already measures "
                         f"{1.0 / hours:.2f} fp/hr > the {target_false_positive_rate} "
                         f"target: the negative-weight controller can only settle at "
                         f"ZERO validation FPs, which over-weights negatives and "
-                        f"raises FRR. Provide >= "
-                        f"{int(3600.0 / (CLIP_SECONDS * target_false_positive_rate)) + 1} "
-                        f"negative validation samples to resolve the target."
+                        f"raises FRR. Provide >= {need_hours:.2f} negative-hours "
+                        f"({int(need_hours * 3600.0 / CLIP_SECONDS) + 1} disjoint "
+                        f"clips, or the stream-window equivalent at the runtime "
+                        f"stride) to resolve the target."
                     )
                 history["validation_false_positive_per_hour"].append(fp_per_hour)
                 history["validation_recall"].append(val_recall)
@@ -770,7 +795,14 @@ class WakeWordTrainer:
                 history["validation_recall"].append(0.0)
 
             if ran_eval and has_testing:
-                test = self._run_eval(eval_fn, params, testing)
+                test = self._run_eval(
+                    eval_fn,
+                    params,
+                    testing,
+                    gate_consecutive=validation_gate_consecutive,
+                    gate_debounce_windows=validation_gate_debounce_windows,
+                    gate_threshold=activation_threshold,
+                )
                 total = test["tp"] + test["fn"] + test["fp"] + test["tn"]
                 history["testing_accuracy"].append((test["tp"] + test["tn"]) / max(total, 1.0))
                 history["testing_recall"].append(test["tp"] / max(test["tp"] + test["fn"], 1.0))
@@ -810,9 +842,34 @@ class WakeWordTrainer:
         return {k: np.asarray(v, dtype=np.float64) for k, v in history.items()}
 
     def _run_eval(
-        self, eval_fn: Callable[..., Any], params: Params, dataset: DatasetType
+        self,
+        eval_fn: Callable[..., Any],
+        params: Params,
+        dataset: DatasetType,
+        gate_consecutive: int = 1,
+        gate_debounce_windows: int = 16,
+        gate_threshold: float = 0.5,
     ) -> Dict[str, float]:
-        totals = {"fp": 0.0, "tp": 0.0, "fn": 0.0, "tn": 0.0, "n_neg": 0.0}
+        """Aggregate eval counts over a validation/testing dataset.
+
+        Clip sources (independent 1.44 s negatives/positives) contribute the
+        usual confusion counts. Negative sources tagged with
+        ``stream_stride_seconds`` (temporally-ordered sliding windows of a
+        continuous stream — ``features.get_stream_window_features``) are
+        instead scored IN ORDER and gated exactly like the deployed runtime
+        (``runtime/detection.ConsecutiveGate``): they contribute
+        ``gated_fp`` fire events and ``stream_hours`` of true stream time,
+        not per-window clip counts — 7,500 overlapping windows at the 0.12 s
+        runtime stride are 15 minutes of audio, not 3 hours of clips, and a
+        sustained false accept is ONE deployed false wake, not 12 window hits.
+        Gate-aware counting requires the HBM-resident plan (pools preserve
+        row order); the streamed fallback shuffles sources together and keeps
+        per-clip semantics for everything.
+        """
+        totals = {
+            "fp": 0.0, "tp": 0.0, "fn": 0.0, "tn": 0.0, "n_neg": 0.0,
+            "gated_fp": 0.0, "stream_hours": 0.0,
+        }
         resident = self._device_plan_for(dataset)
         if resident is not None:
             # HBM-resident eval: score each source pool exactly once per eval
@@ -824,20 +881,37 @@ class WakeWordTrainer:
             # steps themselves). Exact single-pass counts also remove the
             # wraparound resampling noise from fp_per_hour's denominator.
             plan, pools = resident
-            for (_, label), pool in zip(plan.sources, pools):
+            from heybuddy_tpu.runtime.detection import count_detections
+
+            for (ds, label), pool in zip(plan.sources, pools):
+                stride = getattr(ds, "stream_stride_seconds", None)
+                if stride and label == 0.0:
+                    if self._preds_fn is None:
+                        self._preds_fn = self._build_preds()
+                    preds = np.asarray(self._preds_fn(params, pool))
+                    totals["gated_fp"] += float(
+                        count_detections(
+                            preds,
+                            gate_threshold,
+                            consecutive=gate_consecutive,
+                            debounce_windows=gate_debounce_windows,
+                        )
+                    )
+                    totals["stream_hours"] += pool.shape[0] * stride / 3600.0
+                    continue
                 key = (int(pool.shape[0]), float(label))
                 y = self._eval_labels.get(key)
                 if y is None:
                     y = jnp.full((pool.shape[0],), label, dtype=jnp.float32)
                     self._eval_labels[key] = y
                 out = jax.device_get(eval_fn(params, pool, y))
-                for k in totals:
+                for k in ("fp", "tp", "fn", "tn", "n_neg"):
                     totals[k] += float(out[k])
             return totals
         for x_np, y_np in dataset:
             x, y = self._device_put_batch(x_np, y_np)
             out = eval_fn(params, x, y)
-            for k in totals:
+            for k in ("fp", "tp", "fn", "tn", "n_neg"):
                 totals[k] += float(out[k])
         return totals
 
@@ -855,6 +929,8 @@ class WakeWordTrainer:
         validation_steps: int = DEFAULT_VALIDATION_STEPS,
         checkpoint_steps: int = DEFAULT_CHECKPOINT_STEPS,
         target_false_positive_rate: float = DEFAULT_TARGET_FALSE_POSITIVE_RATE,
+        validation_gate_consecutive: int = 1,
+        validation_gate_debounce_windows: int = 16,
         negative_weight_adjust_ratio: float = DEFAULT_NEGATIVE_WEIGHT_ADJUST_RATIO,
         dynamic_negative_weight: bool = DEFAULT_DYNAMIC_NEGATIVE_WEIGHT,
         batch_size_adjust_ratio: float = DEFAULT_BATCH_SIZE_ADJUST_RATIO,
@@ -919,6 +995,8 @@ class WakeWordTrainer:
                 negative_weight_schedule=weights,
                 negative_weight_adjust_ratio=adjust,
                 target_false_positive_rate=target_false_positive_rate,
+                validation_gate_consecutive=validation_gate_consecutive,
+                validation_gate_debounce_windows=validation_gate_debounce_windows,
                 learning_rate=stage_learning_rate,
                 warmup_steps=stage_steps // 5,
                 hold_steps=stage_steps // 3,

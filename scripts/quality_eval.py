@@ -69,6 +69,10 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--no-snr-buckets", action="store_true",
                    help="skip the FRR-by-SNR/reverb breakdown")
     p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--validation-consecutive", type=int, default=2,
+                   help="consecutive-window gate for the trainer's stream "
+                        "validation negatives (matches the shipped runtime "
+                        "gate the headline metrics are measured at)")
     p.add_argument("--mine-rounds", type=int, default=2,
                    help="hard-negative mining rounds (stream -> harvest FPs -> retrain)")
     p.add_argument("--mine-floor", type=float, default=0.2,
@@ -535,6 +539,7 @@ def main() -> None:
             validation_steps=max(args.steps // 8, 50),
             negative_weight_schedule=1.0,
             negative_weight_adjust_ratio=2.0 if validation is not None else None,
+            validation_gate_consecutive=args.validation_consecutive,
             checkpoint_steps=args.steps + 1,
             logging_steps=max(args.steps // 10, 1),
             name="quality-eval",

@@ -121,7 +121,11 @@ def test_resident_eval_counts_match_direct_forward(tmp_path):
 
     plan = eval_ds.device_plan(max_bytes=1 << 30)
     assert plan is not None  # resident path must have engaged
-    expect = {"fp": 0.0, "tp": 0.0, "fn": 0.0, "tn": 0.0, "n_neg": 0.0}
+    expect = {
+        "fp": 0.0, "tp": 0.0, "fn": 0.0, "tn": 0.0, "n_neg": 0.0,
+        # clip-only sources: no gate-aware stream counting engages
+        "gated_fp": 0.0, "stream_hours": 0.0,
+    }
     for (_, label), pool in zip(plan.sources, plan.pools):
         preds = np.asarray(trainer.model.apply(params, jnp.asarray(pool), train=False))[:, 0]
         if label == 1.0:

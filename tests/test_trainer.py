@@ -205,3 +205,70 @@ def test_quantization_warning_for_tiny_validation_sets(tmp_path):
     msgs = [m for m in records if "controller" in m]
     assert len(msgs) == 1, msgs
     assert "ZERO validation FPs" in msgs[0]
+
+
+def test_gate_aware_stream_validation(tmp_path):
+    """Validation negatives tagged as ordered stream windows are scored in
+    temporal order and gated like the deployed runtime: the controller's
+    fp/hr equals ConsecutiveGate fire events over TRUE stream hours
+    (n_windows x stride), not per-window FPs over n x 1.44 s 'clip hours'
+    (12x overcounted at the 0.12 s runtime stride)."""
+    from heybuddy_tpu.data.precalculated import PrecalculatedDatasetIterator
+    from heybuddy_tpu.data.training import WakeWordTrainingDatasetIterator
+    from heybuddy_tpu.runtime.detection import count_detections
+
+    rng = np.random.default_rng(0)
+    pos_pool = rng.normal(size=(16, 16, 96)).astype(np.float32)
+    stream_pool = rng.normal(size=(240, 16, 96)).astype(np.float32)
+    pos = PrecalculatedDatasetIterator("pos", data=pos_pool, seed=0)
+    stream = PrecalculatedDatasetIterator("stream", data=stream_pool, seed=0)
+    stream.stream_stride_seconds = 0.12
+
+    validation = WakeWordTrainingDatasetIterator(
+        num_batch_threads=1, positive=[(pos, 4)], negative=[(stream, 8)]
+    )
+    trainer = WakeWordTrainer(checkpoint_dir=str(tmp_path), num_layers=0)
+    history = trainer.train_epoch(
+        ToyIterator(bs=8),
+        validation=validation,
+        num_steps=5,
+        validation_steps=2,
+        checkpoint_steps=1000,
+        learning_rate=0.0,  # params frozen: eval-time preds == final preds
+        validation_gate_consecutive=2,
+    )
+    preds = np.asarray(trainer.model(stream_pool)).reshape(-1)
+    fires = count_detections(preds, 0.5, consecutive=2)
+    hours = 240 * 0.12 / 3600.0
+    assert history["validation_false_positive_per_hour"][-1] == pytest.approx(
+        fires / hours
+    )
+
+
+def test_untagged_stream_validation_keeps_clip_semantics(tmp_path):
+    """Without the stream tag, negatives keep the reference's per-clip
+    counting (fp over n x 1.44 s hours)."""
+    from heybuddy_tpu.data.precalculated import PrecalculatedDatasetIterator
+    from heybuddy_tpu.data.training import WakeWordTrainingDatasetIterator
+
+    rng = np.random.default_rng(0)
+    neg_pool = rng.normal(size=(240, 16, 96)).astype(np.float32)
+    neg = PrecalculatedDatasetIterator("neg", data=neg_pool, seed=0)
+    validation = WakeWordTrainingDatasetIterator(
+        num_batch_threads=1, positive=[], negative=[(neg, 8)]
+    )
+    trainer = WakeWordTrainer(checkpoint_dir=str(tmp_path), num_layers=0)
+    history = trainer.train_epoch(
+        ToyIterator(bs=8),
+        validation=validation,
+        num_steps=5,
+        validation_steps=2,
+        checkpoint_steps=1000,
+        learning_rate=0.0,
+    )
+    preds = np.asarray(trainer.model(neg_pool)).reshape(-1)
+    fp = int(np.sum(preds >= 0.5))
+    hours = 240 * 1.44 / 3600.0
+    assert history["validation_false_positive_per_hour"][-1] == pytest.approx(
+        fp / hours
+    )
