@@ -3,7 +3,11 @@
 import numpy as np
 import pytest
 
-from heybuddy_tpu.training.trainer import WakeWordTrainer, get_learning_rate
+from heybuddy_tpu.training.trainer import (
+    WakeWordTrainer,
+    adjust_negative_weight,
+    get_learning_rate,
+)
 
 
 def test_learning_rate_schedule_matches_reference_formula():
@@ -86,6 +90,19 @@ def test_resume_missing_raises(tmp_path):
     trainer = WakeWordTrainer(checkpoint_dir=str(tmp_path), num_layers=1)
     with pytest.raises(FileNotFoundError):
         trainer.resume("nonexistent")
+
+
+def test_negative_weight_hold_band():
+    """Raise above target, hold in [target/2, target], lower below target/2.
+
+    The hold at exactly-target matters: validation fp/hr is quantized to
+    multiples of 1/negative-hours, so one residual fire lands on the target
+    and must not read as headroom (reports/quality-v16.json regression)."""
+    assert adjust_negative_weight(4.0, 3.0, 1.5, 2.0) == 8.0  # above target
+    assert adjust_negative_weight(4.0, 1.5, 1.5, 2.0) == 4.0  # at target: hold
+    assert adjust_negative_weight(4.0, 1.0, 1.5, 2.0) == 4.0  # in band: hold
+    assert adjust_negative_weight(4.0, 0.5, 1.5, 2.0) == 2.0  # real headroom
+    assert adjust_negative_weight(1.0, 0.0, 1.5, 2.0) == 1.0  # floor
 
 
 def test_dynamic_negative_weight_adjusts(tmp_path):
