@@ -73,6 +73,14 @@ def parse_args() -> argparse.Namespace:
                    help="consecutive-window gate for the trainer's stream "
                         "validation negatives (matches the shipped runtime "
                         "gate the headline metrics are measured at)")
+    p.add_argument("--fixed-negative-weight", type=float, default=None,
+                   help="disable the dynamic negative-weight controller and "
+                        "train with this constant weight on all negatives. "
+                        "The pre-gate-aware controller always saturated (raw "
+                        "window counting could never hit the fp/hr target), "
+                        "so the round-3 shipped config effectively trained "
+                        "this way; the knob reproduces that regime honestly "
+                        "under the corrected counting.")
     p.add_argument("--mine-rounds", type=int, default=2,
                    help="hard-negative mining rounds (stream -> harvest FPs -> retrain)")
     p.add_argument("--mine-floor", type=float, default=0.2,
@@ -537,8 +545,15 @@ def main() -> None:
             validation=validation,
             num_steps=args.steps,
             validation_steps=max(args.steps // 8, 50),
-            negative_weight_schedule=1.0,
-            negative_weight_adjust_ratio=2.0 if validation is not None else None,
+            negative_weight_schedule=(
+                1.0 if args.fixed_negative_weight is None
+                else args.fixed_negative_weight
+            ),
+            negative_weight_adjust_ratio=(
+                2.0
+                if validation is not None and args.fixed_negative_weight is None
+                else None
+            ),
             validation_gate_consecutive=args.validation_consecutive,
             checkpoint_steps=args.steps + 1,
             logging_steps=max(args.steps // 10, 1),
@@ -835,6 +850,7 @@ def main() -> None:
         "steps": args.steps,
         "layers": args.layers,
         "layer_dim": args.layer_dim,
+        "fixed_negative_weight": args.fixed_negative_weight,
         "frr": round(frr, 4),
         "frr_clean": round(frr_clean, 4),
         "frr_clean_offset": round(frr_clean_offset, 4),
