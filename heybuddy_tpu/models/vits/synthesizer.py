@@ -83,17 +83,30 @@ def init_params(key: jax.Array, config: VitsConfig = VitsConfig()) -> Params:
     # reference models.py:63).
     fc = cfg.hidden_channels
     sdp_keys = jax.random.split(keys[3], cfg.n_layers + 8)
-    dp = {
-        "pre": m.conv1d_init(sdp_keys[0], cfg.hidden_channels, fc, 1),
-        "proj": m.conv1d_init(sdp_keys[1], fc, fc, 1),
-        "convs": m.ddsconv_init(sdp_keys[2], fc, cfg.kernel_size, 3),
-        "cond": m.conv1d_init(sdp_keys[3], cfg.gin_channels, fc, 1),
-        "flows": [{"affine": m.elementwise_affine_init(2)}]
-        + [
-            {"convflow": m.convflow_init(sdp_keys[4 + i], 2, fc, cfg.kernel_size, 3)}
-            for i in range(4)
-        ],
-    }
+    if cfg.use_sdp:
+        dp = {
+            "pre": m.conv1d_init(sdp_keys[0], cfg.hidden_channels, fc, 1),
+            "proj": m.conv1d_init(sdp_keys[1], fc, fc, 1),
+            "convs": m.ddsconv_init(sdp_keys[2], fc, cfg.kernel_size, 3),
+            "cond": m.conv1d_init(sdp_keys[3], cfg.gin_channels, fc, 1),
+            "flows": [{"affine": m.elementwise_affine_init(2)}]
+            + [
+                {"convflow": m.convflow_init(sdp_keys[4 + i], 2, fc, cfg.kernel_size, 3)}
+                for i in range(4)
+            ],
+        }
+    else:
+        # Deterministic predictor (reference models.py:174-240); the 256
+        # filter channels match piper's non-SDP export configuration.
+        dfc = 256
+        dp = {
+            "conv_1": m.conv1d_init(sdp_keys[0], cfg.hidden_channels, dfc, cfg.kernel_size),
+            "norm_1": m.channel_layernorm_init(dfc),
+            "conv_2": m.conv1d_init(sdp_keys[1], dfc, dfc, cfg.kernel_size),
+            "norm_2": m.channel_layernorm_init(dfc),
+            "proj": m.conv1d_init(sdp_keys[2], dfc, 1, 1),
+            "cond": m.conv1d_init(sdp_keys[3], cfg.gin_channels, cfg.hidden_channels, 1),
+        }
 
     # Residual coupling flow: 4 x (coupling + flip)
     flow_keys = jax.random.split(keys[4], 4)
@@ -147,6 +160,31 @@ def text_encoder(
     stats = m.conv1d(p["proj"], h) * x_mask
     inter = stats.shape[1] // 2
     return h, stats[:, :inter], stats[:, inter:]
+
+
+def duration_predictor(
+    p: Params,
+    x: jax.Array,
+    x_mask: jax.Array,
+    g: Optional[jax.Array],
+) -> jax.Array:
+    """
+    Deterministic (non-SDP) duration predictor -> log durations.
+
+    Reference piper/models.py:174-240: two masked conv->relu->channel-LayerNorm
+    blocks then a 1x1 projection (dropout is inference-disabled). Piper voices
+    exported with ``use_sdp: false`` carry this module instead of the spline
+    flows; ``import_torch_checkpoint`` detects which layout the checkpoint has.
+    """
+    kernel = p["conv_1"]["w"].shape[-1]
+    h = x
+    if g is not None and "cond" in p:
+        h = h + m.conv1d(p["cond"], g)
+    h = m.conv1d(p["conv_1"], h * x_mask, padding=kernel // 2)
+    h = m.channel_layernorm(p["norm_1"], jax.nn.relu(h))
+    h = m.conv1d(p["conv_2"], h * x_mask, padding=kernel // 2)
+    h = m.channel_layernorm(p["norm_2"], jax.nn.relu(h))
+    return m.conv1d(p["proj"], h * x_mask) * x_mask
 
 
 def stochastic_duration_reverse(
@@ -260,12 +298,12 @@ def infer(
         g = speaker_embedding[:, :, None]  # (b, gin, 1)
 
     k_dur, k_noise = jax.random.split(key)
-    if cfg.use_sdp:
+    if "flows" in params["dp"]:  # SDP layout (pytree structure is jit-static)
         logw = stochastic_duration_reverse(
             params["dp"], k_dur, h, x_mask, g, jnp.float32(noise_scale_w)
         )
     else:
-        raise NotImplementedError("non-SDP duration predictor import pending")
+        logw = duration_predictor(params["dp"], h, x_mask, g)
 
     w = jnp.exp(logw) * x_mask * length_scale
     w_ceil = jnp.ceil(w)
@@ -398,34 +436,48 @@ def import_torch_checkpoint(path: str, config: VitsConfig = VitsConfig()) -> Par
         "proj": conv("enc_p.proj"),
     }
 
-    # stochastic duration predictor
-    flows: List[Params] = [
-        {
-            "affine": {
-                "m": jnp.asarray(state["dp.flows.0.m"]),
-                "logs": jnp.asarray(state["dp.flows.0.logs"]),
-            }
+    # duration predictor: detect layout from the checkpoint itself.  SDP
+    # checkpoints carry spline-flow tensors (dp.flows.*); non-SDP exports
+    # (piper `use_sdp: false`) carry the conv/LayerNorm stack instead
+    # (reference models.py:174-240 vs :63-171).
+    if "dp.flows.0.m" not in state and _fold_weight_norm(state, "dp.conv_1") is not None:
+        params["dp"] = {
+            "conv_1": conv("dp.conv_1"),
+            "norm_1": norm("dp.norm_1"),
+            "conv_2": conv("dp.conv_2"),
+            "norm_2": norm("dp.norm_2"),
+            "proj": conv("dp.proj"),
         }
-    ]
-    for i in range(4):
-        idx = 1 + 2 * i  # flows list interleaves ConvFlow and Flip
-        flows.append(
+        if _fold_weight_norm(state, "dp.cond") is not None:
+            params["dp"]["cond"] = conv("dp.cond")
+    else:
+        flows: List[Params] = [
             {
-                "convflow": {
-                    "pre": conv(f"dp.flows.{idx}.pre"),
-                    "convs": ddsconv_import(f"dp.flows.{idx}.convs", 3, cfg.kernel_size),
-                    "proj": conv(f"dp.flows.{idx}.proj"),
-                    "num_bins": m.Static(10),
+                "affine": {
+                    "m": jnp.asarray(state["dp.flows.0.m"]),
+                    "logs": jnp.asarray(state["dp.flows.0.logs"]),
                 }
             }
-        )
-    params["dp"] = {
-        "pre": conv("dp.pre"),
-        "proj": conv("dp.proj"),
-        "convs": ddsconv_import("dp.convs", 3, cfg.kernel_size),
-        "cond": conv("dp.cond"),
-        "flows": flows,
-    }
+        ]
+        for i in range(4):
+            idx = 1 + 2 * i  # flows list interleaves ConvFlow and Flip
+            flows.append(
+                {
+                    "convflow": {
+                        "pre": conv(f"dp.flows.{idx}.pre"),
+                        "convs": ddsconv_import(f"dp.flows.{idx}.convs", 3, cfg.kernel_size),
+                        "proj": conv(f"dp.flows.{idx}.proj"),
+                        "num_bins": m.Static(10),
+                    }
+                }
+            )
+        params["dp"] = {
+            "pre": conv("dp.pre"),
+            "proj": conv("dp.proj"),
+            "convs": ddsconv_import("dp.convs", 3, cfg.kernel_size),
+            "cond": conv("dp.cond"),
+            "flows": flows,
+        }
 
     # SDP posterior flows (training-only; present in full training checkpoints)
     if "dp.post_pre.weight" in state:

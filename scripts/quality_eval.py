@@ -86,6 +86,12 @@ def parse_args() -> argparse.Namespace:
                         "the honest way to pick an operating artifact.")
     p.add_argument("--select-stream-minutes", type=float, default=15.0,
                    help="length of the selection fp/hr stream per candidate")
+    p.add_argument("--select-adversarial-samples", type=int, default=400,
+                   help="size of the selection adversarial clip set. 400 "
+                        "clips put the 0.05 FAR target at ~+-1 sigma of the "
+                        "observed candidate spread (binomial sigma 0.011 at "
+                        "p=0.05), which is what lets selection rank "
+                        "candidates whose true FAR differs by ~0.02")
     p.add_argument("--fixed-negative-weight", type=float, default=None,
                    help="disable the dynamic negative-weight controller and "
                         "train with this constant weight on all negatives. "
@@ -650,7 +656,7 @@ def main() -> None:
                 seed=args.seed + 60013,
             )
             sel_adv = select_gen.get_training_features(
-                min(args.heldout_samples, 200), adversarial=True,
+                args.select_adversarial_samples, adversarial=True,
                 adversarial_phrases=60, testing=True,
             )
             sel_adv_feats = np.asarray(sel_adv.precalculated[:], dtype=np.float32)

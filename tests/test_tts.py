@@ -193,6 +193,25 @@ def test_vits_infer_shapes_tiny():
     assert (np.asarray(audio_lengths) > 0).all()
 
 
+def test_vits_infer_non_sdp_tiny():
+    import jax
+    import functools
+    from heybuddy_tpu.models.vits import VitsConfig, infer, init_params
+
+    cfg = VitsConfig(n_speakers=4, gin_channels=32, n_layers=1, hidden_channels=96,
+                     filter_channels=192, upsample_initial_channel=128, use_sdp=False)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    assert "flows" not in params["dp"] and "conv_1" in params["dp"]
+    ids = np.random.default_rng(0).integers(3, 50, (2, 16)).astype(np.int32)
+    lengths = np.asarray([16, 10], np.int32)
+    spk = np.asarray(params["emb_g"])[[0, 1]]
+    fn = jax.jit(functools.partial(infer, max_frames=64, config=cfg))
+    audio, audio_lengths = fn(params, jax.random.PRNGKey(1), ids, lengths, spk)
+    assert audio.shape == (2, 64 * cfg.hop_samples)
+    assert np.isfinite(np.asarray(audio)).all()
+    assert (np.asarray(audio_lengths) > 0).all()
+
+
 def test_feature_generator_end_to_end(tmp_path, monkeypatch):
     monkeypatch.setenv("HEYBUDDY_OFFLINE", "1")
     from heybuddy_tpu.data.features import TrainingFeaturesGenerator

@@ -150,3 +150,50 @@ def test_generate_path_monotonic():
     np.testing.assert_array_equal(path[:, 0], [1, 1, 0, 0, 0, 0])
     np.testing.assert_array_equal(path[:, 1], [0, 0, 1, 1, 1, 0])
     np.testing.assert_array_equal(path[:, 2], [0, 0, 0, 0, 0, 1])
+
+
+def test_duration_predictor_matches_torch():
+    """Deterministic (non-SDP) duration predictor vs a torch build of the
+    reference structure (reference piper/models.py:174-240)."""
+    from heybuddy_tpu.models.vits.synthesizer import duration_predictor
+
+    torch.manual_seed(0)
+    in_ch, fc, kernel, gin = 12, 24, 3, 8
+    conv_1 = nn.Conv1d(in_ch, fc, kernel, padding=kernel // 2)
+    conv_2 = nn.Conv1d(fc, fc, kernel, padding=kernel // 2)
+    proj = nn.Conv1d(fc, 1, 1)
+    cond = nn.Conv1d(gin, in_ch, 1)
+    g1, b1 = torch.randn(fc), torch.randn(fc)
+    g2, b2 = torch.randn(fc), torch.randn(fc)
+
+    x = torch.randn(2, in_ch, 11)
+    g = torch.randn(2, gin, 1)
+    mask = torch.ones(2, 1, 11)
+    mask[1, :, 8:] = 0.0
+
+    def ch_ln(t, gamma, beta):
+        y = torch.nn.functional.layer_norm(t.transpose(1, -1), (t.shape[1],))
+        return (y * gamma + beta).transpose(1, -1)
+
+    with torch.no_grad():
+        h = x + cond(g)
+        h = ch_ln(torch.relu(conv_1(h * mask)), g1, b1)
+        h = ch_ln(torch.relu(conv_2(h * mask)), g2, b2)
+        expected = (proj(h * mask) * mask).numpy()
+
+    def conv_params(c):
+        return {"w": jnp.asarray(c.weight.detach().numpy()),
+                "b": jnp.asarray(c.bias.detach().numpy())}
+
+    p = {
+        "conv_1": conv_params(conv_1),
+        "norm_1": {"g": jnp.asarray(g1.numpy()), "b": jnp.asarray(b1.numpy())},
+        "conv_2": conv_params(conv_2),
+        "norm_2": {"g": jnp.asarray(g2.numpy()), "b": jnp.asarray(b2.numpy())},
+        "proj": conv_params(proj),
+        "cond": conv_params(cond),
+    }
+    out = np.asarray(duration_predictor(
+        p, jnp.asarray(x.numpy()), jnp.asarray(mask.numpy()), jnp.asarray(g.numpy())
+    ))
+    np.testing.assert_allclose(out, expected, atol=1e-5)
