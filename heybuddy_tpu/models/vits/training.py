@@ -279,15 +279,28 @@ def training_forward(
         duration_loss = jnp.sum(nll) / jnp.maximum(jnp.sum(x_mask), 1.0)
     else:
         logw_target = jnp.log(durations + 1e-6) * x_mask
-        if "dp" in params and "proj" in params["dp"]:
+        if "conv_1" in params["dp"]:
+            # True non-SDP layout: the deterministic predictor itself
+            # (reference models.py:709-711 — inputs detached, :226-229).
+            from heybuddy_tpu.models.vits.synthesizer import duration_predictor
+
+            logw_hat = duration_predictor(
+                params["dp"],
+                jax.lax.stop_gradient(h),
+                x_mask,
+                None if g is None else jax.lax.stop_gradient(g),
+            )
+        elif "proj" in params["dp"]:
+            # SDP layout trained without its posterior flows: approximate with
+            # the SDP conditioning stack's projection (log-MSE regression).
             h_dur = m.conv1d(params["dp"]["pre"], jax.lax.stop_gradient(h))
             if g is not None:
                 h_dur = h_dur + m.conv1d(params["dp"]["cond"], jax.lax.stop_gradient(g))
             h_dur = m.ddsconv(params["dp"]["convs"], h_dur, x_mask)
             logw_hat = m.conv1d(params["dp"]["proj"], h_dur)[:, :1] * x_mask
         else:
-            logw_hat = jnp.zeros_like(jnp.log(durations + 1e-6))
-        duration_loss = jnp.sum(jnp.square(logw_hat - jnp.log(durations + 1e-6) * x_mask) * x_mask) / jnp.maximum(
+            logw_hat = jnp.zeros_like(logw_target)
+        duration_loss = jnp.sum(jnp.square(logw_hat - logw_target) * x_mask) / jnp.maximum(
             jnp.sum(x_mask), 1.0
         )
 

@@ -92,6 +92,31 @@ _EXCEPTIONS: Dict[str, str] = {
     "wash": "W AA SH", "father": "F AA DH ER", "other": "AH DH ER",
     "another": "AH N AH DH ER", "nothing": "N AH TH IH NG",
     "something": "S AH M TH IH NG", "doctor": "D AA K T ER",
+    # irregular vowels the rules cannot predict
+    "most": "M OW S T", "almost": "AO L M OW S T",
+    "already": "AO L R EH D IY", "although": "AO L DH OW",
+    "wind": "W IH N D",  # the noun; the ind$ rule owns find/kind/mind
+    "banana": "B AH N AE N AH", "bother": "B AA DH ER",
+    "build": "B IH L D", "built": "B IH L T",
+    "triple": "T R IH P AH L",
+    # lexically reduced -ain (vs stressed contain/remain/maintain)
+    "mountain": "M AW N T AH N", "fountain": "F AW N T AH N",
+    "captain": "K AE P T AH N", "certain": "S ER T AH N",
+    "curtain": "K ER T AH N", "bargain": "B AA R G AH N",
+    # ow-verb participles keep OW against the own$ -> AW N rule
+    "known": "N OW N", "grown": "G R OW N", "thrown": "TH R OW N",
+    "shown": "SH OW N", "blown": "B L OW N", "flown": "F L OW N",
+    # final-syllable-stressed verbs exempt from the -et/-it reduction
+    "forget": "F ER G EH T", "upset": "AH P S EH T",
+    "admit": "AH D M IH T", "commit": "K AH M IH T",
+    "permit": "P ER M IH T",
+    # stressed final -on, exempt from the -on reduction
+    "upon": "AH P AA N",
+    # irregulars surfaced by the expanded golden set
+    "spider": "S P AY D ER", "young": "Y AH NG",
+    "thousand": "TH AW Z AH N D", "second": "S EH K AH N D",
+    "minute": "M IH N AH T", "pretty": "P R IH T IY",
+    "moment": "M OW M AH N T",
 }
 
 # Ordered rewrite rules: (pattern, phones). Longest patterns first. ``|`` marks
@@ -99,15 +124,25 @@ _EXCEPTIONS: Dict[str, str] = {
 _DIGRAPH_RULES: List = [
     ("tion", "SH AH N"), ("sion", "ZH AH N"), ("ture", "CH ER"),
     ("ought", "AO T"), ("aught", "AO T"), ("eigh", "EY"), ("igh", "AY"),
-    ("ther$", "DH ER"),  # mother, brother, father: intervocalic th voices
+    ("other$", "AH DH ER"),  # mother, brother, other: reduced o + voiced th
+    ("ther$", "DH ER"),  # father: intervocalic th voices
     ("tch", "CH"), ("dge", "JH"), ("sch", "S K"), ("ck", "K"),
     ("ook", "UH K"),     # look, book, cook: oo shortens before k
     ("all$", "AO L"), ("ong$", "AO NG"), ("old", "OW L D"),
     ("air", "EH R"), ("oor", "AO R"), ("our$", "AO R"), ("eese", "IY Z"),
     ("ees$", "IY Z"),    # cheese after magic-e drop
-    ("og$", "AO G"), ("ind$", "AY N D"), ("ower$", "AW ER"),
+    ("og$", "AO G"), ("ind$", "AY N D"), ("ild$", "AY L D"),
+    ("own$", "AW N"),    # brown, crown, town; ow-verb participles are exceptions
+    ("ower$", "AW ER"),
     ("ch", "CH"), ("sh", "SH"), ("th", "TH"), ("ph", "F"), ("wh", "W"),
-    ("gh", "G"), ("nk", "NG K"), ("ng", "NG"), ("qu", "K W"),
+    ("gh", "G"),
+    # medial ng before a sounded vowel/l keeps the hard g (finger, jungle);
+    # word-final or pre-consonant ng does not (sing, length)
+    ("ngle$", "NG G AH L"), ("nger$", "NG G ER"),
+    ("nk", "NG K"), ("ng", "NG"), ("qu", "K W"),
+    ("ment$", "M AH N T"), ("dred$", "D R AH D"),
+    ("cen", "S EH N"), ("gen", "JH EH N"),
+    ("arr", "AE R"),
     ("wr", "R"), ("kn", "N"),
     ("gn", "N"), ("mb$", "M"), ("oo", "UW"), ("ee", "IY"), ("ea", "IY"),
     ("ai", "EY"), ("ay", "EY"), ("ey", "EY"), ("oa", "OW"), ("ow", "OW"),
@@ -166,6 +201,24 @@ def _g2p_word(word: str) -> List[str]:
         elif working.endswith("g"):
             working, soft_final = working[:-1], "JH"
 
+    # Unstressed final closed syllables reduce to schwa: "-Cen" -> AH N
+    # (seven, kitchen, garden), "-Cet"/"-Cit" -> AH T (basket, rabbit, visit).
+    # Requires a consonant before the suffix (so sweet/queen/quiet keep their
+    # vowel digraphs) and an earlier vowel (so ten/pen/get stay stressed);
+    # final-syllable-stressed verbs (forget, admit) are lexicon exceptions.
+    suffix_phones: List[str] = []
+    if not magic_e and len(working) > 3 and working[-3] not in "aeiou":
+        if working.endswith("en") and any(c in "aeiouy" for c in working[:-2]):
+            working, suffix_phones = working[:-2], ["AH", "N"]
+        elif working.endswith(("et", "it")) and any(c in "aeiou" for c in working[:-2]):
+            working, suffix_phones = working[:-2], ["AH", "T"]
+        elif working.endswith("on") and any(c in "aeiouy" for c in working[:-2]):
+            # lesson, ribbon, dragon, wagon; "upon" is a lexicon exception
+            working, suffix_phones = working[:-2], ["AH", "N"]
+        if suffix_phones and working.endswith("dg"):
+            # the trimmed e was softening a dge cluster (budget, gadget)
+            working, suffix_phones = working[:-2], ["JH"] + suffix_phones
+
     phones: List[str] = []
     i = 0
     while i < len(working):
@@ -194,8 +247,28 @@ def _g2p_word(word: str) -> List[str]:
             phones.append("IY" if has_other_vowel and len(working) > 2 else "AY")
             i += 1
             continue
+        # open-syllable lengthening: the word's FIRST (stressed) vowel before a
+        # SINGLE consonant reads long in "-Cle" words (table, title, noble,
+        # bugle) and "aCy" words (baby, lady, lazy). Later, unstressed
+        # syllables reduce instead (article, possible, company), and r colors
+        # rather than opens ("-ary": salary).
+        if (
+            ch in "aiou"
+            and i + 1 < len(working)
+            and working[i + 1] not in "aeiouy"
+            and not any(c in "aeiou" for c in working[:i])
+        ):
+            rest = working[i + 2:]
+            if (rest == "le" and not magic_e) or (
+                ch == "a" and rest in ("y", "er") and working[i + 1] != "r"
+            ):
+                phones.append({"a": "EY", "i": "AY", "o": "OW", "u": "UW"}[ch])
+                i += 1
+                continue
         phones.extend(_SINGLE_RULES.get(ch, "").split())
         i += 1
+
+    phones.extend(suffix_phones)
 
     if soft_final:
         phones.append(soft_final)

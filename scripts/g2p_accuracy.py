@@ -81,6 +81,29 @@ GOLDEN = {
     "tree": "T R IY", "truck": "T R AH K", "under": "AH N D ER",
     "warm": "W AO R M", "west": "W EH S T", "wind": "W IH N D",
     "window": "W IH N D OW", "winter": "W IH N T ER", "yellow": "Y EH L OW",
+    # round-3 expansion: added AFTER the rule engine hit 1.00 on the original
+    # 162 words, specifically so the metric keeps measuring generalization
+    # (several of these are expected failures of known rule gaps).
+    "paper": "P EY P ER", "spider": "S P AY D ER", "never": "N EH V ER",
+    "candy": "K AE N D IY", "simple": "S IH M P AH L", "purple": "P ER P AH L",
+    "middle": "M IH D AH L", "funny": "F AH N IY", "puppy": "P AH P IY",
+    "kitten": "K IH T AH N", "button": "B AH T AH N", "lesson": "L EH S AH N",
+    "ribbon": "R IH B AH N", "dragon": "D R AE G AH N", "wagon": "W AE G AH N",
+    "lemon": "L EH M AH N", "melon": "M EH L AH N", "second": "S EH K AH N D",
+    "moment": "M OW M AH N T", "follow": "F AA L OW", "pillow": "P IH L OW",
+    "shadow": "SH AE D OW", "silver": "S IH L V ER", "finger": "F IH NG G ER",
+    "better": "B EH T ER", "rubber": "R AH B ER", "string": "S T R IH NG",
+    "queen": "K W IY N", "screen": "S K R IY N", "plate": "P L EY T",
+    "grape": "G R EY P", "plane": "P L EY N", "white": "W AY T",
+    "write": "R AY T", "wrong": "R AO NG", "young": "Y AH NG",
+    "story": "S T AO R IY", "party": "P AA R T IY", "forty": "F AO R T IY",
+    "dirty": "D ER T IY", "thirty": "TH ER T IY", "city": "S IH T IY",
+    "candle": "K AE N D AH L", "jungle": "JH AH NG G AH L",
+    "turtle": "T ER T AH L", "gentle": "JH EH N T AH L",
+    "teacher": "T IY CH ER", "farmer": "F AA R M ER", "number": "N AH M B ER",
+    "hundred": "HH AH N D R AH D", "thousand": "TH AW Z AH N D",
+    "center": "S EH N T ER", "carrot": "K AE R AH T", "minute": "M IH N AH T",
+    "pretty": "P R IH T IY", "upon": "AH P AA N",
 }
 
 

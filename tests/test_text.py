@@ -165,7 +165,8 @@ def test_adversarial_generator_terminates_without_candidates():
 
 def test_rule_g2p_accuracy_floor():
     """Rule-G2P word accuracy on the curated golden lexicon must not regress
-    (measured 0.90 word / 0.030 PER in round 3; scripts/g2p_accuracy.py)."""
+    (measured 0.995 word / 0.001 PER late round 3 on the 218-word expanded
+    set; scripts/g2p_accuracy.py documents the expansion protocol)."""
     import importlib.util
     import os
 
@@ -180,5 +181,5 @@ def test_rule_g2p_accuracy_floor():
     from heybuddy_tpu.text.phonemizer import _g2p_word
 
     result = mod.score(sorted(mod.GOLDEN.items()), _g2p_word)
-    assert result["word_accuracy"] >= 0.85, result["worst"][:10]
-    assert result["phone_error_rate"] <= 0.05, result["worst"][:10]
+    assert result["word_accuracy"] >= 0.97, result["worst"][:10]
+    assert result["phone_error_rate"] <= 0.01, result["worst"][:10]

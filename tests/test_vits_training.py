@@ -123,3 +123,37 @@ def test_training_forward_with_sdp_nll():
         segment_size=8, config=TINY, sdp_posterior_params=sdp_post,
     )
     assert np.isfinite(float(out["duration_loss"]))
+
+
+def test_training_forward_non_sdp_duration_grads():
+    """use_sdp=False layout: duration loss trains the deterministic predictor."""
+    cfg = TINY._replace(use_sdp=False)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    assert "conv_1" in params["dp"]
+    post = posterior_encoder_init(
+        jax.random.PRNGKey(1), in_channels=65, out_channels=cfg.inter_channels,
+        hidden_channels=cfg.hidden_channels, n_layers=2, gin_channels=cfg.gin_channels,
+    )
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(3, 40, (2, 12)), jnp.int32)
+    id_lengths = jnp.asarray([12, 8], jnp.int32)
+    spec = jnp.asarray(rng.normal(0, 1, (2, 65, 40)).astype(np.float32))
+    spec_lengths = jnp.asarray([40, 30], jnp.int32)
+    spk = params["emb_g"][jnp.asarray([0, 1])]
+
+    def loss_fn(p):
+        out = training_forward(
+            p, post, jax.random.PRNGKey(3), ids, id_lengths, spec, spec_lengths, spk,
+            segment_size=8, config=cfg,
+        )
+        return out["duration_loss"]
+
+    val, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(val))
+    g1 = np.asarray(grads["dp"]["conv_1"]["w"])
+    assert np.isfinite(g1).all() and np.abs(g1).sum() > 0
+    # inputs are detached: no duration gradient may leak into the text encoder
+    enc_grad = jax.tree_util.tree_reduce(
+        lambda a, b: a + float(np.abs(np.asarray(b)).sum()), grads["enc_p"], 0.0
+    )
+    assert enc_grad == 0.0
