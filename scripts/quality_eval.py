@@ -384,6 +384,9 @@ def main() -> None:
         args.sliding_clips = min(args.sliding_clips, 6)
         args.no_snr_buckets = True
         args.mine_rounds = min(args.mine_rounds, 1)
+        args.select_stream_minutes = min(args.select_stream_minutes, 1.0)
+        args.select_adversarial_samples = min(args.select_adversarial_samples, 12)
+        args.calibration_seeds = min(args.calibration_seeds, 1)
 
     # Rendered streams are embedding-agnostic waveforms: cache them in the
     # shared cache so multi-hour fp/hour costs synthesis once per seed ever.
