@@ -139,6 +139,9 @@ def main() -> None:
 @click.option("--tokenizer-max-length", default=96, show_default=True)
 @click.option("--local-files", is_flag=True, default=False,
               help="Treat REPO_ID as a glob of local wav files instead of a HF dataset.")
+@click.option("--mesh/--no-mesh", "use_mesh", default=False, is_flag=True, show_default=True,
+              help="Shard featurization batches over the full device mesh "
+                   "(data parallel); single-device runs are unaffected.")
 @click.option("--debug/--no-debug", default=False, is_flag=True)
 def extract(
     name: str,
@@ -157,6 +160,7 @@ def extract(
     process_batch_size: int,
     tokenizer_max_length: int,
     local_files: bool,
+    use_mesh: bool,
     debug: bool,
 ) -> None:
     """Extract labeled negative-feature shards from an audio dataset."""
@@ -164,12 +168,19 @@ def extract(
     from heybuddy_tpu.data.precalculated import get_default_dataset_dir
 
     with _debug(debug):
+        mesh = None
+        if use_mesh:
+            from heybuddy_tpu.parallel.mesh import get_mesh
+
+            mesh = get_mesh()
+            logger.info(f"Extracting over mesh: {mesh}")
         extractor = LabeledFeatureExtractor(
             directory=directory or get_default_dataset_dir(),
             name=name,
             samples_per_file=samples_per_file,
             process_batch_size=process_batch_size,
             tokenizer_max_length=tokenizer_max_length,
+            mesh=mesh,
         )
         if local_files:
             source = iter_wav_files(sorted(glob.glob(repo_id)))

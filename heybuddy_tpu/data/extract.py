@@ -79,6 +79,7 @@ class LabeledFeatureExtractor:
         tokenizer_max_length: int = 96,
         sample_rate: int = SAMPLE_RATE,
         clip_samples: int = CLIP_SAMPLES,
+        mesh: Optional[Any] = None,
     ) -> None:
         self.directory = directory
         self.name = name
@@ -86,6 +87,10 @@ class LabeledFeatureExtractor:
         self.process_batch_size = process_batch_size
         self.sample_rate = sample_rate
         self.clip_samples = clip_samples
+        # Optional jax.sharding.Mesh: featurization batches shard over the
+        # data axis so bulk extraction scales across every chip (the
+        # reference's extract is single-GPU, precalculated.py:114-270).
+        self.mesh = mesh
         self.tokenizer = BERTTokenizer(length=tokenizer_max_length)
         os.makedirs(directory, exist_ok=True)
 
@@ -106,9 +111,12 @@ class LabeledFeatureExtractor:
         on_progress: Optional[Any] = None,
     ) -> List[str]:
         """Process the stream; returns the list of shard paths written."""
-        from heybuddy_tpu.models.featurizer import get_speech_embeddings
+        from heybuddy_tpu.models.featurizer import SpeechEmbeddings, get_speech_embeddings
 
-        embeddings = get_speech_embeddings()
+        if self.mesh is not None:
+            embeddings: Any = SpeechEmbeddings(mesh=self.mesh)
+        else:
+            embeddings = get_speech_embeddings()
         shard_paths: List[str] = []
         shard_index = 0
         shard: Optional[AppendableNpyFile] = None

@@ -192,11 +192,16 @@ class SpeechEmbeddings:
         compute_dtype: jnp.dtype = jnp.bfloat16,
         pad_to_multiple: int = 64,
         onnx_path: Optional[str] = None,
+        mesh: Optional[Any] = None,
     ) -> None:
         self.compute_dtype = jnp.dtype(compute_dtype)
         # Padding the batch bounds the number of distinct compiled shapes when
         # callers stream variable batch sizes (see _padded_rows).
         self.pad_to_multiple = pad_to_multiple
+        # Optional jax.sharding.Mesh: clip batches shard over the data axis
+        # (params replicate) and jit compiles the same program SPMD across all
+        # chips — the TPU-native scale-out for bulk featurization (extract).
+        self.mesh = mesh
         self._onnx_net = None
         if onnx_path:
             # Imported reference frozen model: the exact reference feature
@@ -215,6 +220,10 @@ class SpeechEmbeddings:
         self._space_id: Optional[str] = None
         self._stream_fn: Optional[Any] = None
         self._stream_fn_stride: Optional[int] = None
+        if self.mesh is not None:
+            from heybuddy_tpu.parallel.mesh import replicated
+
+            self.params = jax.device_put(self.params, replicated(self.mesh))
 
     @property
     def space_id(self) -> str:
@@ -225,12 +234,25 @@ class SpeechEmbeddings:
 
     def _pad_batch(self, mono: np.ndarray) -> np.ndarray:
         b = mono.shape[0]
-        pad_b = _padded_rows(b, self.pad_to_multiple) - b
+        target = _padded_rows(b, self.pad_to_multiple)
+        if self.mesh is not None:
+            # batch must divide across the mesh's data axis
+            n_data = self.mesh.shape["data"]
+            target = max(target, n_data) + ((-max(target, n_data)) % n_data)
+        pad_b = target - b
         if pad_b:
             mono = np.concatenate(
                 [mono, np.zeros((pad_b,) + mono.shape[1:], dtype=np.float32)], axis=0
             )
         return mono
+
+    def _put(self, mono: np.ndarray) -> jax.Array:
+        """Host batch -> device(s): sharded over the mesh's data axis if set."""
+        if self.mesh is not None:
+            from heybuddy_tpu.parallel.mesh import shard_batch
+
+            return shard_batch(mono, self.mesh)
+        return jnp.asarray(mono)
 
     def featurize_stream_device(
         self, stream: np.ndarray, count: int, stride: int
@@ -277,7 +299,7 @@ class SpeechEmbeddings:
         """
         mono = self._pad_batch(audio_batch.astype(np.float32) * 32767.0)
         b = audio_batch.shape[0]
-        return self._fn(self.params, jnp.asarray(mono)), b
+        return self._fn(self.params, self._put(mono)), b
 
     def __call__(
         self,
@@ -290,7 +312,7 @@ class SpeechEmbeddings:
         mono = batch.mean(axis=1) * 32767.0  # (b, t), int16-range like the reference
         b, t = mono.shape
         mono = self._pad_batch(mono)
-        embeddings = np.asarray(self._fn(self.params, jnp.asarray(mono)))[:b]
+        embeddings = np.asarray(self._fn(self.params, self._put(mono)))[:b]
 
         if remove_nan:
             embeddings = self._repair_nan(embeddings)

@@ -65,3 +65,42 @@ def test_dryrun_multichip_in_process():
     from heybuddy_tpu.parallel.dryrun import run
 
     run(8)
+
+
+def test_speech_embeddings_mesh_matches_single(cpu_mesh):
+    """SpeechEmbeddings(mesh=...) shards the clip batch over the data axis and
+    produces exactly the single-device embeddings (extract --mesh path)."""
+    from heybuddy_tpu.models.featurizer import SpeechEmbeddings
+
+    rng = np.random.default_rng(0)
+    audio = (rng.normal(0, 0.1, (5, 23040)) * 32767).astype(np.float32) / 32767.0
+    plain = SpeechEmbeddings()
+    sharded = SpeechEmbeddings(mesh=cpu_mesh)
+    out_plain = plain(audio)
+    out_sharded = sharded(audio)
+    assert out_sharded.shape == out_plain.shape == (5, 16, 96)
+    np.testing.assert_allclose(out_sharded, out_plain, atol=1e-5)
+
+
+def test_extract_mesh_matches_single(tmp_path, cpu_mesh):
+    """LabeledFeatureExtractor(mesh=...) writes byte-identical shards."""
+    from heybuddy_tpu.data.extract import LabeledFeatureExtractor
+
+    rng = np.random.default_rng(1)
+    source = [
+        {"array": rng.normal(0, 0.05, 30000).astype(np.float32),
+         "sampling_rate": 16000, "transcript": "hello world"}
+        for _ in range(3)
+    ]
+    plain = LabeledFeatureExtractor(str(tmp_path / "plain"), "neg", process_batch_size=4)
+    meshy = LabeledFeatureExtractor(
+        str(tmp_path / "mesh"), "neg", process_batch_size=4, mesh=cpu_mesh
+    )
+    p_paths = plain(list(source))
+    m_paths = meshy(list(source))
+    assert len(p_paths) == len(m_paths) == 1
+    a, b = np.load(p_paths[0]), np.load(m_paths[0])
+    assert a.shape == b.shape and a.shape[1:] == (17, 96)
+    # different padded batch shapes (4 vs 8 rows) change XLA fusion tiling;
+    # bf16 compute may round one ulp (2^-8) differently per element
+    np.testing.assert_allclose(a, b, atol=2 * 2.0 ** -8)
