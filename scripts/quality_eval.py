@@ -86,6 +86,13 @@ def parse_args() -> argparse.Namespace:
                         "the honest way to pick an operating artifact.")
     p.add_argument("--select-stream-minutes", type=float, default=15.0,
                    help="length of the selection fp/hr stream per candidate")
+    p.add_argument("--select-consolidate", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="after the K candidates, train one more model on the "
+                        "UNION of all candidates' mined hard negatives and "
+                        "let it compete on the selection data (independent "
+                        "mining trajectories harvest different failure "
+                        "modes; the union uses all of them)")
     p.add_argument("--select-adversarial-samples", type=int, default=400,
                    help="size of the selection adversarial clip set. 400 "
                         "clips put the 0.05 FAR target at ~+-1 sigma of the "
@@ -668,9 +675,10 @@ def main() -> None:
             )
             selection = []
             best = None
-            for cand in range(args.select_runs):
-                tr_c, mined_c = train_and_mine(cand)
-                model_c = tr_c.model
+            all_mined: list = []
+
+            def score_candidate(label: object, tr_c: object) -> tuple:
+                model_c = tr_c.model  # type: ignore[attr-defined]
                 fp2 = count_detections(
                     sliding_scores(model_c, sel_stream), args.threshold,
                     consecutive=2,
@@ -687,7 +695,7 @@ def main() -> None:
                     + max(0.0, fp2 - 1.5)
                 )
                 entry = {
-                    "candidate": cand,
+                    "candidate": label,
                     "sel_fp_per_hour_c2": round(fp2, 3),
                     "sel_far_adversarial": round(sel_far, 4),
                     "sel_frr_clean_offset": round(sel_frr_off, 4),
@@ -695,10 +703,29 @@ def main() -> None:
                 }
                 selection.append(entry)
                 logger.info(f"selection: {entry}")
-                key = (pen, sel_far + 0.1 * fp2)
+                return (pen, sel_far + 0.1 * fp2), entry
+
+            for cand in range(args.select_runs):
+                tr_c, mined_c = train_and_mine(cand)
+                all_mined.extend(mined_c)
+                key, _ = score_candidate(cand, tr_c)
                 if best is None or key < best[0]:
                     best = (key, cand, tr_c, mined_c)
             assert best is not None
+            if args.select_consolidate and args.select_runs > 1:
+                # Consolidation: one more train on the UNION of every
+                # candidate's mined hard negatives — K independent mining
+                # trajectories harvest different failure modes, and a single
+                # candidate only ever trains on its own. Competes on the same
+                # selection data; replaces the winner only if it wins there.
+                tr_u = train_model(
+                    all_mined,
+                    f"consolidated (union of {args.select_runs} minings)",
+                    7919 * best[1],
+                )
+                key, _ = score_candidate("consolidated", tr_u)
+                if key < best[0]:
+                    best = (key, "consolidated", tr_u, all_mined)
             _, sel_cand, trainer, mined = best
             for e in selection:
                 e["selected"] = e["candidate"] == sel_cand
