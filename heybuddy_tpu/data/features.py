@@ -84,8 +84,13 @@ def autoconfigure_batch_sizes() -> Dict[str, int]:
         embed = 2048
     elif ram_gib < 16:
         embed = 4096
-    else:
+    elif ram_gib < 24:
         embed = 8192
+    else:
+        # Measured scaling (PERF.md): 8192 -> 414k, 16384 -> 468k clips/s.
+        # A 16384-clip batch stages ~1.5 GB on device and ~3 GB of host
+        # buffers, so it needs both the full 16 GB HBM and headroom RAM.
+        embed = 16384
     return {**host_tier, "embed_batch_size": embed}
 
 
@@ -776,7 +781,9 @@ class TrainingFeaturesGenerator:
 
         from heybuddy_tpu.data.space import active_space, check_cache_space, write_space_sidecar
 
-        if os.path.exists(path) and not check_cache_space(path, self.tts_backend):
+        if os.path.exists(path) and (
+            not self.use_cache or not check_cache_space(path, self.tts_backend)
+        ):
             os.remove(path)
         store = AppendableNpyFile(path)
         write_space_sidecar(path, active_space(self.tts_backend))

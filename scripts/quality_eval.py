@@ -306,6 +306,35 @@ def count_detections(scores: np.ndarray, threshold: float, consecutive: int = 1,
                   debounce_windows=debounce_windows)
 
 
+def wilson_interval(k: int, n: int, z: float = 1.96) -> list:
+    """95% Wilson score interval for a binomial rate ``k/n``.
+
+    Every headline rate is an estimate from a finite rendering sample; the
+    run-to-run variance study (QUALITY.md) showed decisions made on point
+    estimates alone straddle the targets, so the harness reports the interval
+    next to every rate it prints.
+    """
+    if n <= 0:
+        return [0.0, 1.0]
+    p = k / n
+    denom = 1.0 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = z * np.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+    return [round(float(max(center - half, 0.0)), 4),
+            round(float(min(center + half, 1.0)), 4)]
+
+
+def poisson_rate_interval(k: int, hours: float) -> list:
+    """Exact (Garwood) 95% CI for a Poisson rate: ``k`` events / ``hours``."""
+    from scipy.stats import chi2
+
+    if hours <= 0:
+        return [0.0, float("inf")]
+    lo = 0.0 if k == 0 else float(chi2.ppf(0.025, 2 * k) / 2.0)
+    hi = float(chi2.ppf(0.975, 2 * k + 2) / 2.0)
+    return [round(lo / hours, 3), round(hi / hours, 3)]
+
+
 def frr_by_snr_buckets(model, phrase: str, seed: int, thr: float,
                        n_clips: int = 48) -> dict:
     """FRR on positives augmented at PINNED background-noise SNR buckets,
@@ -602,10 +631,22 @@ def main() -> None:
     mined: list = []
     selection = None
     if args.eval_only:
-        from heybuddy_tpu.models.wakeword import load_model
-
         final = os.path.abspath(args.eval_only)
-        model = load_model(final)
+        if final.endswith(".onnx"):
+            # Deployed artifacts (browser/models/hey-buddy.onnx) only exist
+            # as ONNX; score them through the same runtime evaluator `predict`
+            # uses so shipped bundles can be re-measured without an npz.
+            from heybuddy_tpu.runtime.onnx_model import WakeWordONNXModel
+
+            model = WakeWordONNXModel(final)
+        elif final.endswith(".pt"):
+            from heybuddy_tpu.models.wakeword import WakeWordMLPModel
+
+            model = WakeWordMLPModel.from_torch_file(final)
+        else:
+            from heybuddy_tpu.models.wakeword import load_model
+
+            model = load_model(final)
         logger.info(f"=== eval-only: re-scoring {final} ===")
     else:
         # --- hard-negative mining rounds -----------------------------------
@@ -846,6 +887,7 @@ def main() -> None:
     rng = np.random.default_rng(args.seed + 5)
     sliding = {}
     sliding_c2 = {}
+    sliding_counts: dict = {}
     sliding_runs: dict = {}
     for text in [args.phrase] + ADVERSARIAL_SLIDING_PHRASES:
         # The wake phrase's gated fire rate IS the product's recall (the
@@ -875,6 +917,7 @@ def main() -> None:
             fired_c2.append(int(count_detections(s, thr, consecutive=2) > 0))
         sliding[text] = round(float(np.mean(maxima)), 3)
         sliding_c2[text] = round(float(np.mean(fired_c2)), 3)
+        sliding_counts[text] = (int(sum(fired_c2)), len(fired_c2))
         logger.info(
             f"  {text!r}: mean max score {sliding[text]}, "
             f"consecutive=2 fire rate {sliding_c2[text]}"
@@ -939,6 +982,21 @@ def main() -> None:
             "frr_clean_offset": round(cal_frr_clean_offset, 4),
             "targets_met": cal_targets,
             "all_targets_met": all(cal_targets.values()),
+            "intervals": {
+                "far_adversarial": wilson_interval(
+                    int((adv_scores >= cal_thr).sum()), len(adv_scores)),
+                "frr_clean": wilson_interval(
+                    int((clean_scores < cal_thr).sum()), len(clean_scores)),
+                "sliding_recall_c2": wilson_interval(
+                    int(sum(
+                        int(count_detections(s, cal_thr, consecutive=2) > 0)
+                        for s in sliding_runs[args.phrase]
+                    )),
+                    len(sliding_runs[args.phrase]),
+                ),
+                "fp_per_hour_c2": poisson_rate_interval(
+                    int(round(sum(cal_fp_c2_runs) * run_hours)), hours),
+            },
         }
         logger.info(
             f"calibrated thr={cal_thr} -> fp/hr_c2={cal_fp_per_hour_c2:.2f} "
@@ -946,6 +1004,41 @@ def main() -> None:
             f"clean FRR={cal_frr_clean:.4f}/{cal_frr_clean_offset:.4f}; targets: "
             + ", ".join(f"{k}={'PASS' if v else 'FAIL'}" for k, v in cal_targets.items())
         )
+
+    # 95% intervals for every headline rate: point estimates from finite
+    # rendering samples straddle the targets run-to-run (QUALITY.md controller
+    # study), so the sample sizes and the uncertainty they buy are first-class
+    # outputs, not footnotes.
+    det_c2_total = int(round(sum(fp_runs_c2) * run_hours))
+    recall_k, recall_n = sliding_counts[args.phrase]
+    intervals = {
+        "far_adversarial": wilson_interval(
+            int((adv_scores >= thr).sum()), len(adv_scores)),
+        "far_speech": wilson_interval(
+            int((speech_scores >= thr).sum()), len(speech_scores)),
+        "frr_clean": wilson_interval(
+            int((clean_scores < thr).sum()), len(clean_scores)),
+        "frr_clean_offset": wilson_interval(
+            int((clean_offset_scores < thr).sum()), len(clean_offset_scores)),
+        "sliding_recall_c2": wilson_interval(recall_k, recall_n),
+        "fp_per_hour_consecutive2": poisson_rate_interval(det_c2_total, hours),
+        "n": {
+            "adversarial": len(adv_scores),
+            "speech": len(speech_scores),
+            "clean": len(clean_scores),
+            "clean_offset": len(clean_offset_scores),
+            "sliding_renderings": recall_n,
+            "stream_detections_c2": det_c2_total,
+            "stream_hours": round(hours, 2),
+        },
+        "basis": "Wilson 95% (rates) / Garwood 95% (fp per hour)",
+    }
+    logger.info(
+        "95% intervals: "
+        + ", ".join(
+            f"{k}={v}" for k, v in intervals.items() if k not in ("n", "basis")
+        )
+    )
 
     # HEADLINE: every target at the production operating point, together.
     targets_met = {
@@ -1017,6 +1110,7 @@ def main() -> None:
         "sliding_clips": args.sliding_clips,
         "targets_met": targets_met,
         "all_targets_met": all(targets_met.values()),
+        "intervals": intervals,
         "calibrated": calibrated,
         "frr_by_snr": frr_by_snr,
         "checkpoint": final,
