@@ -57,12 +57,17 @@ def autoconfigure_batch_sizes() -> Dict[str, int]:
         pass
 
     hbm_gib = 16.0
+    hbm_measured = False
+    is_tpu = False
     try:
         import jax
 
-        stats = jax.devices()[0].memory_stats()
+        device = jax.devices()[0]
+        is_tpu = device.platform not in ("cpu", "gpu")
+        stats = device.memory_stats()
         if stats and "bytes_limit" in stats:
             hbm_gib = stats["bytes_limit"] / (1024 ** 3)
+            hbm_measured = True
     except Exception:
         pass
 
@@ -86,11 +91,15 @@ def autoconfigure_batch_sizes() -> Dict[str, int]:
         embed = 4096
     elif ram_gib < 24:
         embed = 8192
-    else:
+    elif (hbm_gib >= 15.0 if hbm_measured else is_tpu):
         # Measured scaling (PERF.md): 8192 -> 414k, 16384 -> 468k clips/s.
         # A 16384-clip batch stages ~1.5 GB on device and ~3 GB of host
         # buffers, so it needs both the full 16 GB HBM and headroom RAM.
+        # CPU backends report no bytes_limit — they stay on the 8192 tier
+        # rather than inheriting the TPU default.
         embed = 16384
+    else:
+        embed = 8192
     return {**host_tier, "embed_batch_size": embed}
 
 

@@ -20,9 +20,11 @@ Math identical to ``embedding_net.apply_spectrogram_banded``: per clip tile
 
 HBM traffic per batch: patches in + (b, W, 96) out + small per-param
 constants — everything else stays in VMEM. The XLA banded path moves ~10
-intermediates through HBM at ~78 GB/s effective on this device (~5.9 ms per
-2048 clips measured); this kernel measures 4.5 ms (v5e, 459k clips/s standalone)
-and is the production TPU path via ``featurize_batch(pooling="auto")``.
+intermediates through HBM and measured ~5.9 ms per 2048 clips wall; this
+kernel measures 4.5 ms wall (v5e, 459k clips/s standalone; both numbers
+carry the ~3.3 ms/call dispatch tax — device times are ~2.6 vs ~1.2 ms,
+see PERF.md) and is the production TPU path via
+``featurize_batch(pooling="auto")``.
 
 Mosaic layout rules this kernel obeys (probed on v5e):
 * batched ``dot_general`` requires BOTH batch dims at position 0;

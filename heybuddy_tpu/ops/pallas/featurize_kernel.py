@@ -3,9 +3,11 @@ Single-kernel featurization: raw audio -> (b, n_windows, 96) embeddings.
 
 PERF.md's remaining-headroom analysis: with the two-kernel pipeline
 (melspec_kernel + embedding_kernel) the (b, F, 32) spectrogram round-trips
-HBM between the kernels — 37 MB written + 37 MB read per 2048-clip batch,
-~0.9 ms at the measured ~78 GB/s effective bandwidth, plus a second kernel
-dispatch. This kernel fuses the whole chain per clip tile:
+HBM between the kernels — 37 MB written + 37 MB read per 2048-clip batch
+(only ~0.15 ms at the true ~500 GB/s streaming rate; the round-2 "78 GB/s"
+figure was the dispatch tax, see PERF.md) — plus a second kernel dispatch
+(~3.3 ms of tunnel tax, the actual motivation). This kernel fuses the whole
+chain per clip tile:
 
     audio hops -> shifted-hop DFT matmuls -> power -> mel -> log scale
     -> frame->patch redistribution -> trunk MLPs -> banded window pooling

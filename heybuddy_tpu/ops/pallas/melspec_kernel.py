@@ -2,10 +2,13 @@
 Fused Pallas mel-spectrogram kernel.
 
 The XLA path (ops/melspec.py) materializes framed audio and the complex
-spectrum in HBM between its matmuls; on this device the measured effective
-HBM bandwidth is ~78 GB/s, so those intermediates (~500 MB per 2048-clip
-batch) dominate the runtime (~7.5 ms measured). This kernel keeps the whole
-chain in VMEM per clip tile:
+spectrum in HBM between its matmuls (~500 MB of intermediates per 2048-clip
+batch); true HBM streaming on this device is ~500-700 GB/s (PERF.md,
+tax-corrected — the round-2 "78 GB/s" belief was the ~3.3 ms/dispatch
+tunnel tax misread as bandwidth), so the intermediates cost well under 1 ms
+of device time. The fused kernel's real wins are avoiding the extra
+dispatches and pass structure: one program does the whole chain in VMEM per
+clip tile:
 
     audio hops -> 4 shifted matmuls vs the windowed-DFT basis -> power ->
     mel filterbank -> log -> x/10+2

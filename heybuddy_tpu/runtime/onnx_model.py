@@ -38,8 +38,20 @@ class WakeWordONNXModel(WakeWordInferenceMixin):
         features = np.asarray(features, dtype=np.float32)
         if features.ndim == 2:
             features = features[None]
+        # Exported graphs declare fixed batch-1 input (deployment contract),
+        # but the head's ops (Flatten/MatMul/LayerNorm/...) are all
+        # batch-agnostic, so the numpy runner can evaluate the whole batch in
+        # one graph walk — per-row looping made multi-hour stream re-scoring
+        # (~30k windows/stream-hour) prohibitively slow. Fall back to the
+        # row loop if the graph turns out to bake batch-1 shapes in.
+        if self._runner is not None and len(features) > 1:
+            try:
+                out = np.asarray(self._runner(input=features)["output"])
+                if out.shape[:1] == features.shape[:1]:
+                    return out
+            except Exception:
+                pass
         outputs = []
-        # Exported graphs are fixed batch-1 (deployment contract); loop rows.
         for row in features:
             if self._session is not None:
                 out = self._session.run(None, {"input": row[None]})[0]

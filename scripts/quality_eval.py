@@ -325,7 +325,14 @@ def wilson_interval(k: int, n: int, z: float = 1.96) -> list:
 
 
 def poisson_rate_interval(k: int, hours: float) -> list:
-    """Exact (Garwood) 95% CI for a Poisson rate: ``k`` events / ``hours``."""
+    """Exact (Garwood) 95% CI for a Poisson rate: ``k`` events / ``hours``.
+
+    This models gated detections as homogeneous Poisson counting noise, so it
+    is a *sampling-noise floor*: the controller study (QUALITY.md) shows
+    between-run overdispersion (different mined negatives -> different model)
+    well beyond it. Read it together with the per-run rates
+    (``fp_per_hour_runs_c2``), which carry the honest between-run spread.
+    """
     from scipy.stats import chi2
 
     if hours <= 0:
@@ -832,6 +839,8 @@ def main() -> None:
     score_runs = []
     fp_runs = []
     fp_runs_c2 = []
+    fp_counts = []
+    fp_counts_c2 = []
     for k in range(n_runs):
         stream = synth_speech_stream(
             args.stream_minutes, seed=args.seed + 31 + 1009 * k,
@@ -841,13 +850,15 @@ def main() -> None:
         score_runs.append(s)
         d = count_detections(s, thr)
         d2 = count_detections(s, thr, consecutive=2)
+        fp_counts.append(int(d))
+        fp_counts_c2.append(int(d2))
         fp_runs.append(d / max(run_hours, 1e-9))
         fp_runs_c2.append(d2 / max(run_hours, 1e-9))
         logger.info(
             f"  stream {k + 1}/{n_runs}: {d} raw / {d2} gated detections "
             f"({fp_runs[-1]:.1f} / {fp_runs_c2[-1]:.1f} per hr)"
         )
-    detections = int(round(sum(fp_runs) * run_hours))
+    detections = int(sum(fp_counts))
     fp_per_hour = float(np.mean(fp_runs))
     logger.info(
         f"stream aggregate: {fp_per_hour:.2f}/hr raw over {hours:.2f} h "
@@ -946,10 +957,10 @@ def main() -> None:
         cal_hours = args.calibration_seeds * run_hours
         cal_thr = operating_threshold(cal_runs, cal_hours, consecutive=2)
         cal_thr = max(cal_thr, thr)
-        cal_fp_c2_runs = [
-            count_detections(s, cal_thr, consecutive=2) / max(run_hours, 1e-9)
-            for s in score_runs
+        cal_fp_c2_counts = [
+            int(count_detections(s, cal_thr, consecutive=2)) for s in score_runs
         ]
+        cal_fp_c2_runs = [d / max(run_hours, 1e-9) for d in cal_fp_c2_counts]
         cal_recall_runs = [
             float(np.mean([
                 int(count_detections(s, cal_thr, consecutive=2) > 0)
@@ -995,7 +1006,7 @@ def main() -> None:
                     len(sliding_runs[args.phrase]),
                 ),
                 "fp_per_hour_c2": poisson_rate_interval(
-                    int(round(sum(cal_fp_c2_runs) * run_hours)), hours),
+                    sum(cal_fp_c2_counts), hours),
             },
         }
         logger.info(
@@ -1009,7 +1020,7 @@ def main() -> None:
     # rendering samples straddle the targets run-to-run (QUALITY.md controller
     # study), so the sample sizes and the uncertainty they buy are first-class
     # outputs, not footnotes.
-    det_c2_total = int(round(sum(fp_runs_c2) * run_hours))
+    det_c2_total = int(sum(fp_counts_c2))
     recall_k, recall_n = sliding_counts[args.phrase]
     intervals = {
         "far_adversarial": wilson_interval(

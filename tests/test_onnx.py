@@ -118,3 +118,20 @@ def test_wire_format_decodes_with_protoc(tmp_path):
     import re as _re
 
     assert not _re.search(r"^\s*\d+[:{]", decoded, _re.M), "unknown fields in wire format"
+
+
+def test_onnx_runner_batched_matches_per_row(tmp_path):
+    """The numpy-runner path evaluates a full (n,16,96) batch in one graph
+    walk (the exported graph declares batch-1 but its ops are batch-agnostic);
+    it must agree with the per-row loop it replaced."""
+    from heybuddy_tpu.runtime.onnx_model import WakeWordONNXModel
+
+    model = WakeWordMLPModel()
+    path = str(tmp_path / "ww_batch.onnx")
+    model.save_onnx(path)
+    onnx_model = WakeWordONNXModel(path)
+    x = np.random.default_rng(7).normal(size=(5, 16, 96)).astype(np.float32)
+    batched = np.asarray(onnx_model(x))
+    per_row = np.stack([np.asarray(onnx_model(row[None]))[0] for row in x])
+    np.testing.assert_allclose(batched, per_row, atol=1e-6)
+    assert batched.shape == (5, 1)
