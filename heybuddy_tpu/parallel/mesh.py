@@ -43,9 +43,22 @@ def distributed_init(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """Initialize multi-host JAX (no-op for single-process runs)."""
+    """Initialize multi-host JAX (no-op for single-process runs).
+
+    On the CPU backend this selects the gloo collectives implementation so
+    cross-process collectives actually execute — which is also how the
+    multi-process path is exercised without a pod
+    (``parallel/distributed_smoke.py``, spawned by tests/test_distributed.py).
+    """
     if num_processes is None or num_processes <= 1:
         return
+    try:
+        # Read without initializing a backend: jax_platforms reflects any
+        # jax.config pin (the sitecustomize plugin or our own cpu forcing).
+        if "cpu" in str(jax.config.jax_platforms or ""):
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:  # pragma: no cover - older jaxlib without the option
+        pass
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
@@ -109,5 +122,15 @@ def pad_batch_to_multiple(batch: np.ndarray, multiple: int) -> Tuple[np.ndarray,
 
 
 def shard_batch(batch: np.ndarray, mesh: Mesh) -> jax.Array:
-    """Place a host batch onto the mesh, sharded over the data axis."""
+    """Place a host batch onto the mesh, sharded over the data axis.
+
+    Single-process: a plain sharded ``device_put``. Multi-process (after
+    :func:`distributed_init`): ``batch`` is this process's LOCAL shard of the
+    global batch — every process contributes its rows and the returned global
+    array has ``batch.shape[0] * process_count`` rows. ``device_put`` cannot
+    address other processes' devices, so the multihost path goes through
+    ``make_array_from_process_local_data``.
+    """
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(batch_sharding(mesh), batch)
     return jax.device_put(batch, batch_sharding(mesh))
