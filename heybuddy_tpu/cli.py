@@ -319,6 +319,12 @@ def combine(
 @click.option("--adversarial-samples", type=int, default=DEFAULT_ADVERSARIAL_SAMPLES)
 @click.option("--adversarial-phrases", type=int, default=DEFAULT_ADVERSARIAL_PHRASES)
 @click.option("--adversarial-phrase-custom", type=str, default=None, multiple=True)
+@click.option("--prefix-negative-phrases", type=int, default=0, show_default=True,
+              help="Auto-derive this many PREFIX-negative texts (the wake phrase's "
+                   "exact onset continuing into non-target words, e.g. 'hey budget "
+                   "...' for 'hey buddy') and add them to the adversarial text pool. "
+                   "A causal sliding window hears the onset before the completion; "
+                   "these teach it not to fire on the prefix alone.")
 @click.option("--positive-batch-size", type=int, default=DEFAULT_POSITIVE_BATCH_SIZE)
 @click.option("--negative-batch-size", type=int, default=DEFAULT_NEGATIVE_BATCH_SIZE)
 @click.option("--synthetic-negative-samples", type=int, default=0, show_default=True,
@@ -390,10 +396,22 @@ def train(phrase: str, **kwargs: Any) -> None:
         phrases = [phrase] + list(kwargs.pop("additional_phrase") or [])
         phrase_arg: Any = phrases if len(phrases) > 1 else phrase
 
+        custom_texts = list(kwargs.pop("adversarial_phrase_custom") or [])
+        num_prefix_negatives = kwargs.pop("prefix_negative_phrases")
+        if num_prefix_negatives:
+            from heybuddy_tpu.text.adversarial import prefix_negative_texts
+
+            prefix_texts = prefix_negative_texts(phrase, num_samples=num_prefix_negatives)
+            logger.info(
+                f"Prefix-negative pool: {len(prefix_texts)} texts "
+                f"(e.g. {prefix_texts[:3]})"
+            )
+            custom_texts.extend(prefix_texts)
+
         feature_kwargs = dict(
             augment_config=augment_config,
             phrase_augment_prob=kwargs.pop("augment_phrase_prob"),
-            custom_adversarial_texts=list(kwargs.pop("adversarial_phrase_custom") or []) or None,
+            custom_adversarial_texts=custom_texts or None,
             tts_backend=kwargs.pop("tts_backend"),
         )
 

@@ -157,15 +157,39 @@ class NoiseProvider:
         return noise / (np.abs(noise).max() + 1e-9)
 
     def _synthetic_impulse(self) -> np.ndarray:
+        """Room-like synthetic IR: direct path + sparse early reflections +
+        a two-band diffuse tail whose high band decays faster (real rooms
+        absorb HF more). The round-3 family (bare exponential white tail,
+        RT60 <= 0.9, tail <= 0.3) measured too tame: models trained on it
+        held 0.21-0.29 FRR on mid-SNR reverb buckets, so round 4 widens the
+        envelope to longer tails, stronger levels, and discrete arrivals."""
         n = self.ir_samples
-        t = np.arange(n) / self.sample_rate
-        rt60 = self.rng.uniform(0.1, 0.9)
-        envelope = np.exp(-6.9 * t / rt60)
-        # Direct path dominates; the diffuse tail sits well below it, like
-        # measured room responses (a flat-noise IR would bury the signal).
-        tail_level = self.rng.uniform(0.05, 0.3)
-        ir = tail_level * self.rng.standard_normal(n).astype(np.float32) * envelope
+        sr = self.sample_rate
+        t = np.arange(n) / sr
+        ir = np.zeros(n, dtype=np.float64)
         ir[0] = 1.0
+        # Sparse early reflections within the first ~80 ms, random sign —
+        # the comb structure that smears plosives in real rooms.
+        n_refl = int(self.rng.integers(2, 12))
+        delays = self.rng.uniform(0.003, 0.08, n_refl)
+        amps = self.rng.uniform(0.1, 0.6, n_refl) * self.rng.choice([-1.0, 1.0], n_refl)
+        for d, a in zip(delays, amps):
+            ir[int(d * sr)] += a
+        # Diffuse tail: split one noise draw at a random crossover; the low
+        # band keeps the nominal RT60, the high band decays hf_ratio faster.
+        rt60 = self.rng.uniform(0.15, 1.2)
+        hf_ratio = self.rng.uniform(0.3, 0.8)
+        spectrum = np.fft.rfft(self.rng.standard_normal(n))
+        freqs = np.fft.rfftfreq(n, 1 / sr)
+        cutoff = self.rng.uniform(400.0, 2500.0)
+        low = np.fft.irfft(spectrum * (freqs <= cutoff), n)
+        high = np.fft.irfft(spectrum * (freqs > cutoff), n)
+        tail = low * np.exp(-6.9 * t / rt60) + high * np.exp(-6.9 * t / (rt60 * hf_ratio))
+        # Tail rises after a short pre-delay instead of overlapping the
+        # direct path; stronger than the round-3 family but still below it.
+        tail[t < self.rng.uniform(0.004, 0.02)] = 0.0
+        tail_level = self.rng.uniform(0.1, 0.55)
+        ir += tail_level * tail / (np.abs(tail).max() + 1e-9)
         return ir.astype(np.float32)
 
     # --- public API --------------------------------------------------------------

@@ -25,7 +25,12 @@ from heybuddy_tpu.text.phonemizer import SimplePhonemizer, load_cmudict, VOWEL_P
 from heybuddy_tpu.text.wordlist import WORDS
 from heybuddy_tpu.utils.log import logger
 
-__all__ = ["AdversarialTextGenerator", "get_adversarial_text_generator", "replace_phonemes"]
+__all__ = [
+    "AdversarialTextGenerator",
+    "get_adversarial_text_generator",
+    "prefix_negative_texts",
+    "replace_phonemes",
+]
 
 
 def replace_phonemes(
@@ -225,6 +230,116 @@ class AdversarialTextGenerator:
                         f"after {yielded} distinct text(s)"
                     )
                     return
+
+
+# Neutral sentence continuations appended after the divergence point so a
+# prefix negative sounds like ongoing speech (the stream distribution the
+# deployed sliding window scores), not an isolated word.
+_PREFIX_CONTINUATIONS: List[str] = [
+    "can you come here",
+    "did you see that",
+    "what is the time",
+    "the meeting starts soon",
+    "we should go now",
+    "turn it down a bit",
+    "i was thinking about it",
+    "over there by the door",
+    "later this afternoon",
+    "that was really loud",
+    "where did it go",
+    "it works now",
+]
+
+
+def prefix_negative_texts(
+    phrase: str,
+    num_samples: int = 64,
+    seed: int = 0,
+    min_prefix_phones: int = 2,
+    lexicon: Optional[Lexicon] = None,
+) -> List[str]:
+    """Texts that BEGIN exactly like ``phrase`` and then diverge mid-word.
+
+    A causal sliding-window classifier hears the wake phrase's onset before
+    its completion, so a model trained only on full-phrase positives and
+    whole-word adversaries can fire on the shared prefix alone (measured:
+    "hey but" — a strict prefix of "hey buddy" — fired the deployed gate on
+    50% of renderings while every whole-word near-collision sat at 0.0).
+
+    For each word position ``i`` and lexicon word sharing that word's first
+    ``>= min_prefix_phones`` phones before continuing differently (or ending,
+    like "bud" inside "buddy"), emit ``words[:i] + divergent_word +
+    continuation`` — the exact phrase onset followed by non-target speech.
+    Candidates are ranked by total matched onset phones, so the deepest
+    prefixes ("hey bud-" + budget/button/buzzer) dominate the pool. Words
+    that EXTEND the full target word ("buddies") are excluded: rejecting
+    them would teach rejection of the phrase itself.
+
+    No reference equivalent — its adversarial generator substitutes whole
+    words only (reference util/lang_util.py:40-167).
+    """
+    lexicon = lexicon or get_lexicon()
+    phonemizer = SimplePhonemizer()
+    rng = np.random.default_rng(seed)
+    words = phrase.lower().split()
+
+    def stripped(phones_str: str) -> Tuple[str, ...]:
+        return tuple(re.sub(r"\d+", "", p) for p in phones_str.split())
+
+    word_phone_counts: List[int] = []
+    scored: List[Tuple[int, int, str]] = []  # (onset_phones, word_index, candidate)
+    for i, word in enumerate(words):
+        phones_str = lexicon.phones_for_word(word)
+        if phones_str is None:
+            phones = phonemizer.word_phones(word)
+            phones_str = _stress_phones(phones) if phones else ""
+        target = stripped(phones_str)
+        word_phone_counts.append(len(target))
+        if len(target) < min_prefix_phones:
+            continue
+        onset_before = sum(word_phone_counts[:i])
+        seen_pron: set = set()
+        for cand, cand_phones in lexicon._items:
+            cp = stripped(cand_phones)
+            if cand == word or cp == target or cp in seen_pron:
+                continue
+            match = 0
+            for a, b in zip(cp, target):
+                if a != b:
+                    break
+                match += 1
+            if match < min_prefix_phones or match == len(target):
+                continue
+            seen_pron.add(cp)
+            scored.append((onset_before + match, i, cand))
+
+    if not scored:
+        return []
+    # Deepest onsets first; rng only breaks ties so seeded pools vary without
+    # ever preferring a shallow prefix over a deep one.
+    order = rng.permutation(len(scored))
+    ranked = sorted(
+        (scored[j] for j in order), key=lambda t: (-t[0], -t[1])
+    )
+    keep = ranked[: max(num_samples, 32)]
+
+    texts: List[str] = []
+    seen_text: set = set()
+    k = 0
+    while len(texts) < num_samples and k < 8 * num_samples:
+        onset, i, cand = keep[k % len(keep)]
+        k += 1
+        cont = _PREFIX_CONTINUATIONS[int(rng.integers(0, len(_PREFIX_CONTINUATIONS)))]
+        parts = words[:i] + [cand]
+        # Vary the continuation presence: bare divergences ("hey bud") teach
+        # the clip boundary, continued ones teach the stream case.
+        if rng.random() < 0.85:
+            parts.append(cont)
+        text = " ".join(parts)
+        if text != phrase and text not in seen_text:
+            seen_text.add(text)
+            texts.append(text)
+    return texts
 
 
 _GLOBAL_GENERATOR: Optional[AdversarialTextGenerator] = None

@@ -105,4 +105,8 @@ puppy putty petty pity party potty patty bully belly jelly silly
 hay bay jay lay may nay pay ray clay gray pray stay tray stray spray
 gravy navy wavy ivy envy
 cuddle huddle muddle
+but bud bun buck bug bull buzz bump bulk bus bust booth book boom
+bat bet bit bot beat beet bead bid bad bed bead bud bug
+hem hen head heap heat heal heel hail hale haze hate
+said sad sit sat set sud suds stud study studio steady sturdy buddies
 """.split()

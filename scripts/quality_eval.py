@@ -115,6 +115,13 @@ def parse_args() -> argparse.Namespace:
                    help="TRAINING adversarial phrase-pool size (held-out pool "
                         "stays at 60 for cross-config comparability; pools are "
                         "seed-disjoint either way)")
+    p.add_argument("--prefix-negatives", type=int, default=0,
+                   help="N>0 adds N auto-derived PREFIX-negative texts (the "
+                        "wake phrase's exact onset continuing into non-target "
+                        "words, e.g. 'hey budget ...') to the TRAINING "
+                        "adversarial pool. Targets onset false fires: the "
+                        "'hey but' sliding residual and the stream-window "
+                        "fp/hour tail. Held-out pools never include them.")
     p.add_argument("--hard-pair-boost", type=int, default=0,
                    help="N>0 adds the wake phrase's closest single-word "
                         "phonetic neighbors (auto-derived from the lexicon) "
@@ -144,6 +151,7 @@ ADVERSARIAL_SLIDING_PHRASES = [
     "hey bunny",
     "a buddy",
     "hey but",
+    "hey budget meeting",
     "good morning",
     "hello there",
     "turn on the lights",
@@ -458,6 +466,17 @@ def main() -> None:
             f"{args.hard_pair_boost} = {len(hard_texts)} pool entries: "
             f"{sorted(set(hard_texts))}"
         )
+    if args.prefix_negatives > 0:
+        from heybuddy_tpu.text.adversarial import prefix_negative_texts
+
+        prefix_texts = prefix_negative_texts(
+            args.phrase, num_samples=args.prefix_negatives, seed=args.seed
+        )
+        logger.info(
+            f"prefix negatives: {len(prefix_texts)} texts "
+            f"(deepest: {prefix_texts[:4]})"
+        )
+        hard_texts = hard_texts + prefix_texts
     train_gen_kwargs = dict(gen_kwargs)
     if hard_texts:
         train_gen_kwargs["custom_adversarial_texts"] = hard_texts
@@ -1082,6 +1101,7 @@ def main() -> None:
         "partial_samples": args.partial_samples,
         "adversarial_phrases": args.adversarial_phrases,
         "hard_pair_boost": args.hard_pair_boost,
+        "prefix_negatives": args.prefix_negatives,
         "steps": args.steps,
         "layers": args.layers,
         "layer_dim": args.layer_dim,

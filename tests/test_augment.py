@@ -220,3 +220,25 @@ def test_pitch_shift_rescales_lengths_and_fills_silence():
     if ratio > 1.0:
         end = int((t - 1) / ratio)
         assert abs(out[1, end + 2 :]).max() == 0.0
+
+
+def test_synthetic_impulse_family():
+    """Round-4 IR family: direct path at t=0, sparse early reflections, and
+    a pre-delayed two-band diffuse tail (HF decays faster). Guards the
+    properties the reverb-robustness work relies on."""
+    from heybuddy_tpu.data.augmented import NoiseProvider
+
+    provider = NoiseProvider(seed=0, use_remote=False)
+    irs = provider.impulse_batch(16)
+    assert irs.shape == (16, provider.ir_samples)
+    assert np.isfinite(irs).all()
+    sr = provider.sample_rate
+    for ir in irs:
+        assert ir[0] == 1.0  # unit direct path
+        assert np.abs(ir).max() <= 2.0  # direct + reflections stay bounded
+        # a diffuse tail exists beyond the early-reflection region...
+        assert np.abs(ir[int(0.1 * sr):]).max() > 0.0
+        # ...but decays: the last 50 ms sit below the first 50 ms after onset
+        head = np.abs(ir[int(0.025 * sr): int(0.075 * sr)]).mean()
+        tail = np.abs(ir[-int(0.05 * sr):]).mean()
+        assert tail < head

@@ -183,3 +183,29 @@ def test_rule_g2p_accuracy_floor():
     result = mod.score(sorted(mod.GOLDEN.items()), _g2p_word)
     assert result["word_accuracy"] >= 0.97, result["worst"][:10]
     assert result["phone_error_rate"] <= 0.01, result["worst"][:10]
+
+
+def test_prefix_negative_texts():
+    """Prefix negatives: the wake phrase's exact onset continuing into
+    NON-target words ("hey bud-" -> budget/but/bus...), ranked deepest-onset
+    first. Words that extend the full target word are excluded — rejecting
+    "hey buddies" would teach rejection of the phrase itself."""
+    from heybuddy_tpu.text.adversarial import prefix_negative_texts
+
+    texts = prefix_negative_texts("hey buddy", num_samples=32, seed=0)
+    assert len(texts) == 32
+    assert len(set(texts)) == 32
+    assert "hey buddy" not in texts
+    for t in texts:
+        words = t.split()
+        assert "buddy" not in words and "buddies" not in words, t
+    # Deep-onset candidates dominate: most texts keep the first word intact
+    # and diverge inside the second.
+    kept_onset = [t for t in texts if t.startswith("hey ")]
+    assert len(kept_onset) >= len(texts) // 2
+    # The measured residual class is covered: at least one b-vowel divergence.
+    assert any(t.split()[1][0] == "b" for t in kept_onset)
+    # Seeded determinism (pool order feeds seeded TTS rendering).
+    assert texts == prefix_negative_texts("hey buddy", num_samples=32, seed=0)
+    # Degenerate phrases yield gracefully.
+    assert prefix_negative_texts("a", num_samples=4, seed=0) == []
