@@ -746,10 +746,24 @@ def main() -> None:
 
             def score_candidate(label: object, tr_c: object) -> tuple:
                 model_c = tr_c.model  # type: ignore[attr-defined]
-                fp2 = count_detections(
+                det2 = count_detections(
                     sliding_scores(model_c, sel_stream), args.threshold,
                     consecutive=2,
-                ) / sel_hours
+                )
+                fp2 = det2 / sel_hours
+                # Selection streams are short (1-2 h), so the gated-rate
+                # point estimate cannot resolve rates near the 1.5/hr
+                # target: a candidate at a true 3/hr shows ZERO selection
+                # detections ~5% of the time, and the K-way minimum picks
+                # exactly those lucky draws (QUALITY.md round 4 — the v21
+                # consolidated winner measured 0.0 at selection, 1.8 on the
+                # report streams). Penalize the ~97.5% Poisson upper bound
+                # of the rate instead, so "0 seen in 2 h" carries the
+                # ~1.8/hr the stream length cannot exclude (rule of three
+                # at zero; normal-approx upper otherwise).
+                fp2_upper = float(
+                    (det2 + 1.96 * np.sqrt(det2) + 3.0) / sel_hours
+                )
                 sel_far = float(np.mean(
                     np.asarray(model_c(sel_adv_feats)).reshape(-1) >= args.threshold
                 ))
@@ -759,18 +773,26 @@ def main() -> None:
                 pen = (
                     max(0.0, sel_far - 0.05) * 20.0
                     + max(0.0, sel_frr_off - 0.05) * 20.0
-                    + max(0.0, fp2 - 1.5)
+                    + max(0.0, fp2_upper - 1.5)
                 )
                 entry = {
                     "candidate": label,
                     "sel_fp_per_hour_c2": round(fp2, 3),
+                    "sel_fp_per_hour_c2_upper": round(fp2_upper, 3),
                     "sel_far_adversarial": round(sel_far, 4),
                     "sel_frr_clean_offset": round(sel_frr_off, 4),
                     "penalty": round(pen, 4),
                 }
                 selection.append(entry)
                 logger.info(f"selection: {entry}")
-                return (pen, sel_far + 0.1 * fp2), entry
+                # FAR is the best-resolved selection metric (hundreds of
+                # clips, +-0.02) — a candidate over the 0.05 target there
+                # must never be rescued by stream luck, so the FAR gate
+                # ranks lexicographically ahead of the graded penalty.
+                return (
+                    (0 if sel_far <= 0.05 else 1, pen, sel_far + 0.1 * fp2),
+                    entry,
+                )
 
             for cand in range(args.select_runs):
                 tr_c, mined_c = train_and_mine(cand)
