@@ -350,6 +350,36 @@ def poisson_rate_interval(k: int, hours: float) -> list:
     return [round(lo / hours, 3), round(hi / hours, 3)]
 
 
+def selection_key(det2: int, sel_hours: float, sel_far: float,
+                  sel_frr_off: float) -> tuple:
+    """Rank a selection candidate; lower tuples win.
+
+    Returns ``(key_tuple, fp2, fp2_upper, penalty)``. Two round-4 lessons
+    are encoded here (QUALITY.md "Round 4"):
+
+    - Selection streams are short (1-2 h), so the gated-rate point estimate
+      cannot resolve rates near the 1.5/hr target: a true-3/hr candidate
+      shows ZERO selection detections ~5% of the time, and the K-way
+      minimum picks exactly those lucky draws (the v21 consolidated winner
+      measured 0.0 at selection, 1.8 on the report streams). The graded
+      penalty therefore prices the ~97.5% Poisson upper bound of the rate
+      (rule of three at zero: 0 seen in 2 h still carries 1.5/hr).
+    - FAR is the best-resolved selection metric (hundreds of clips,
+      +-0.02), so a candidate over the 0.05 target there must never be
+      rescued by stream luck: the FAR gate ranks lexicographically ahead
+      of the graded penalty.
+    """
+    fp2 = det2 / sel_hours
+    fp2_upper = float((det2 + 1.96 * np.sqrt(det2) + 3.0) / sel_hours)
+    pen = (
+        max(0.0, sel_far - 0.05) * 20.0
+        + max(0.0, sel_frr_off - 0.05) * 20.0
+        + max(0.0, fp2_upper - 1.5)
+    )
+    key = (0 if sel_far <= 0.05 else 1, pen, sel_far + 0.1 * fp2)
+    return key, fp2, fp2_upper, pen
+
+
 def frr_by_snr_buckets(model, phrase: str, seed: int, thr: float,
                        n_clips: int = 48) -> dict:
     """FRR on positives augmented at PINNED background-noise SNR buckets,
@@ -750,30 +780,14 @@ def main() -> None:
                     sliding_scores(model_c, sel_stream), args.threshold,
                     consecutive=2,
                 )
-                fp2 = det2 / sel_hours
-                # Selection streams are short (1-2 h), so the gated-rate
-                # point estimate cannot resolve rates near the 1.5/hr
-                # target: a candidate at a true 3/hr shows ZERO selection
-                # detections ~5% of the time, and the K-way minimum picks
-                # exactly those lucky draws (QUALITY.md round 4 — the v21
-                # consolidated winner measured 0.0 at selection, 1.8 on the
-                # report streams). Penalize the ~97.5% Poisson upper bound
-                # of the rate instead, so "0 seen in 2 h" carries the
-                # ~1.8/hr the stream length cannot exclude (rule of three
-                # at zero; normal-approx upper otherwise).
-                fp2_upper = float(
-                    (det2 + 1.96 * np.sqrt(det2) + 3.0) / sel_hours
-                )
                 sel_far = float(np.mean(
                     np.asarray(model_c(sel_adv_feats)).reshape(-1) >= args.threshold
                 ))
                 sel_frr_off = float(np.mean(
                     np.asarray(model_c(sel_off_feats)).reshape(-1) < args.threshold
                 ))
-                pen = (
-                    max(0.0, sel_far - 0.05) * 20.0
-                    + max(0.0, sel_frr_off - 0.05) * 20.0
-                    + max(0.0, fp2_upper - 1.5)
+                key, fp2, fp2_upper, pen = selection_key(
+                    det2, sel_hours, sel_far, sel_frr_off,
                 )
                 entry = {
                     "candidate": label,
@@ -785,14 +799,7 @@ def main() -> None:
                 }
                 selection.append(entry)
                 logger.info(f"selection: {entry}")
-                # FAR is the best-resolved selection metric (hundreds of
-                # clips, +-0.02) — a candidate over the 0.05 target there
-                # must never be rescued by stream luck, so the FAR gate
-                # ranks lexicographically ahead of the graded penalty.
-                return (
-                    (0 if sel_far <= 0.05 else 1, pen, sel_far + 0.1 * fp2),
-                    entry,
-                )
+                return key, entry
 
             for cand in range(args.select_runs):
                 tr_c, mined_c = train_and_mine(cand)

@@ -1,0 +1,65 @@
+"""Unit tests for the quality harness's candidate-selection ranking.
+
+The selector (scripts/quality_eval.py:selection_key) encodes two round-4
+lessons from the v20/v21 campaigns (QUALITY.md "Round 4"): short selection
+streams cannot resolve gated fp/hour near the 1.5/hr target, so the penalty
+prices the Poisson upper bound of the rate, and a candidate over the 0.05
+FAR target (the best-resolved selection metric) can never be rescued by a
+lucky zero-detection stream draw. Reference target values:
+/root/reference/src/python/heybuddy/constants.py:85 (fp/hr) and the
+trainer's validation metrics (trainer.py:511-536).
+"""
+
+import importlib.util
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def qe():
+    path = os.path.join(os.path.dirname(__file__), "..", "scripts", "quality_eval.py")
+    spec = importlib.util.spec_from_file_location("quality_eval", path)
+    mod = importlib.util.module_from_spec(spec)
+    assert spec.loader is not None
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_zero_detections_carries_rule_of_three_upper(qe):
+    # 0 detections over 2 h must not score as rate 0: the 97.5% upper bound
+    # is 3/hours = 1.5/hr, exactly at the target, so penalty stays 0 but the
+    # recorded upper is honest.
+    key, fp2, fp2_upper, pen = qe.selection_key(0, 2.0, 0.02, 0.02)
+    assert fp2 == 0.0
+    assert fp2_upper == pytest.approx(1.5)
+    assert pen == pytest.approx(0.0)
+    # Over 1 h the same zero count can no longer exclude 3/hr.
+    _, _, upper_1h, pen_1h = qe.selection_key(0, 1.0, 0.02, 0.02)
+    assert upper_1h == pytest.approx(3.0)
+    assert pen_1h == pytest.approx(1.5)
+
+
+def test_far_gate_is_lexicographic(qe):
+    # The v21 regression: the consolidated candidate drew 0 selection
+    # detections but sat at FAR 0.0775; a FAR-passing candidate with a
+    # mediocre stream draw must outrank it.
+    lucky_far_fail = qe.selection_key(0, 2.0, 0.0775, 0.015)[0]
+    honest_far_pass = qe.selection_key(8, 2.0, 0.045, 0.04)[0]
+    assert honest_far_pass < lucky_far_fail
+    # Among FAR-passing candidates, fewer detections still win.
+    fewer = qe.selection_key(2, 2.0, 0.045, 0.04)[0]
+    assert fewer < honest_far_pass
+
+
+def test_upper_bound_monotone_in_detections(qe):
+    uppers = [qe.selection_key(k, 2.0, 0.0, 0.0)[2] for k in range(6)]
+    assert uppers == sorted(uppers)
+    assert all(b > a for a, b in zip(uppers, uppers[1:]))
+
+
+def test_ties_break_on_far_then_rate(qe):
+    # Equal gate + equal penalty (both fully inside targets): lower FAR wins.
+    a = qe.selection_key(0, 2.0, 0.01, 0.01)[0]
+    b = qe.selection_key(0, 2.0, 0.03, 0.01)[0]
+    assert a < b
