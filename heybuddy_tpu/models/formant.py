@@ -41,7 +41,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from heybuddy_tpu.constants import SAMPLE_RATE
-from heybuddy_tpu.text.phonemizer import SimplePhonemizer
+from heybuddy_tpu.text.phonemizer import get_phonemizer
 
 __all__ = ["FormantSynthesizer", "FORMANT_VERSION"]
 
@@ -154,7 +154,7 @@ class FormantSynthesizer:
 
     def __init__(self, sample_rate: int = SAMPLE_RATE) -> None:
         self.sample_rate = sample_rate
-        self.phonemizer = SimplePhonemizer()
+        self.phonemizer = get_phonemizer()
 
     def _speaker(self, seed: int) -> Tuple[float, float]:
         """(f0 base Hz, formant scale) derived deterministically from a seed."""

@@ -42,7 +42,7 @@ from heybuddy_tpu.constants import (
     DEFAULT_TTS_SLERP_WEIGHTS,
     SAMPLE_RATE,
 )
-from heybuddy_tpu.text.phonemizer import SimplePhonemizer
+from heybuddy_tpu.text.phonemizer import get_phonemizer
 from heybuddy_tpu.utils.audio_io import resample_audio
 from heybuddy_tpu.utils.log import logger
 
@@ -87,7 +87,11 @@ class BaseTTS:
     sample_rate = SAMPLE_RATE
 
     def __init__(self) -> None:
-        self.phonemizer = SimplePhonemizer()
+        # the selected backend (simple rule engine by default; espeak or the
+        # neural model via HEYBUDDY_PHONEMIZER) — the backend changes the
+        # rendered audio, so it is part of the cache provenance tag
+        # (data/space.py tts_provenance)
+        self.phonemizer = get_phonemizer()
 
     # subclass hook -------------------------------------------------------------
     def synthesize_batch(

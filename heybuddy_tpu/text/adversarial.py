@@ -21,7 +21,7 @@ from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
-from heybuddy_tpu.text.phonemizer import SimplePhonemizer, load_cmudict, VOWEL_PHONEMES
+from heybuddy_tpu.text.phonemizer import SimplePhonemizer, get_phonemizer, load_cmudict, VOWEL_PHONEMES
 from heybuddy_tpu.text.wordlist import WORDS
 from heybuddy_tpu.utils.log import logger
 
@@ -129,7 +129,7 @@ class AdversarialTextGenerator:
         self.partial_phrase_ratio = partial_phrase_ratio
         self.input_words_ratio = input_words_ratio
         self.lexicon = lexicon or get_lexicon()
-        self._phonemizer = SimplePhonemizer()
+        self._phonemizer = get_phonemizer()
 
     def _word_queries(self, phones: List[str]) -> List[str]:
         """Wildcarded queries with freed vowel stress (lang_util.py:123-137)."""
@@ -279,7 +279,7 @@ def prefix_negative_texts(
     words only (reference util/lang_util.py:40-167).
     """
     lexicon = lexicon or get_lexicon()
-    phonemizer = SimplePhonemizer()
+    phonemizer = get_phonemizer()
     rng = np.random.default_rng(seed)
     words = phrase.lower().split()
 

@@ -58,6 +58,8 @@ class EspeakPhonemizer:
     freely: ``"hello world" -> "[HH][AH][L][OW] [W][ER][L][D]"``.
     """
 
+    name = "espeak"
+
     # espeak-ng AUDIO_OUTPUT enum value 2 = AUDIO_OUTPUT_SYNCHRONOUS: no
     # audio device is opened — required for a phonemize-only binding in
     # headless environments (value 3 would be SYNCH_PLAYBACK and try to

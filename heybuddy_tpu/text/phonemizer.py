@@ -319,6 +319,8 @@ class SimplePhonemizer:
     '[HH][AH][L][OW] [W][ER][L][D]'
     """
 
+    name = "simple"
+
     def __init__(self, use_cmudict: bool = True) -> None:
         self.cmudict = load_cmudict() if use_cmudict else None
 
@@ -346,11 +348,19 @@ def get_phonemizer(**_compat_kwargs: object) -> "SimplePhonemizer":
     espeak-ng binding when libespeak-ng is installed (espeak-grade accuracy,
     same contract as the reference's espeak path); the rule engine (+ optional
     CMUdict) remains the dependency-free fallback. Set
-    ``HEYBUDDY_PHONEMIZER=simple`` to force the rule engine.
+    ``HEYBUDDY_PHONEMIZER=simple`` to force the rule engine, or
+    ``HEYBUDDY_PHONEMIZER=neural`` for the trained-model option (reference's
+    ``PretrainedPhonemizer``, phonemizer.py:15-50) — requires a checkpoint
+    from ``scripts/train_neural_g2p.py`` via ``HEYBUDDY_G2P_WEIGHTS``.
     """
     global _GLOBAL_PHONEMIZER
     if _GLOBAL_PHONEMIZER is None:
-        if os.environ.get("HEYBUDDY_PHONEMIZER", "").lower() != "simple":
+        backend = os.environ.get("HEYBUDDY_PHONEMIZER", "").lower()
+        if backend == "neural":
+            from heybuddy_tpu.text.neural_g2p import NeuralPhonemizer
+
+            _GLOBAL_PHONEMIZER = NeuralPhonemizer()  # raises without weights
+        elif backend != "simple":
             try:
                 from heybuddy_tpu.text.espeak import EspeakPhonemizer
 
