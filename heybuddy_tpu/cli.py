@@ -339,6 +339,10 @@ def combine(
               help="Generate this many sliding-window negatives from continuous "
                    "speech/adversarial streams (the distribution the deployed runtime "
                    "scores; cuts false wakes per hour).")
+@click.option("--collision-negative-samples", type=int, default=0, show_default=True,
+              help="Generate this many sliding-window negatives from collision-salad "
+                   "streams (near-collision words inside word salads - the measured "
+                   "residual stream false-positive surface).")
 @click.option("--clean-positive-samples", type=int, default=0, show_default=True,
               help="Add this many UNAUGMENTED positives (centered and at random "
                    "window offsets) — quiet-room recall coverage the augment "
@@ -434,6 +438,7 @@ def train(phrase: str, **kwargs: Any) -> None:
             partial_samples=kwargs.pop("partial_samples"),
             partial_batch_size=kwargs.pop("partial_batch_size"),
             stream_negative_samples=kwargs.pop("stream_negative_samples"),
+            collision_negative_samples=kwargs.pop("collision_negative_samples"),
             clean_positive_samples=kwargs.pop("clean_positive_samples"),
             num_batch_threads=kwargs.pop("num_batch_threads"),
             large_negative_dataset=training_default_size in ("large", "full"),

@@ -673,6 +673,7 @@ class TrainingFeaturesGenerator:
         num_samples: int,
         adversarial: bool = False,
         seed: Optional[int] = None,
+        collision: bool = False,
     ) -> PrecalculatedDatasetIterator:
         """
         Sliding-window NEGATIVES from a continuous speech stream: every
@@ -697,12 +698,19 @@ class TrainingFeaturesGenerator:
         )
         from heybuddy_tpu.models.featurizer import get_speech_embeddings
 
+        if collision and adversarial:
+            raise ValueError("collision and adversarial are mutually exclusive")
         seed = self.seed if seed is None else seed
-        kind = "adversarial-stream" if adversarial else "speech-stream"
+        if collision:
+            kind = "collision-stream"
+        elif adversarial:
+            kind = "adversarial-stream"
+        else:
+            kind = "speech-stream"
         phrase_slug = safe_name(self.phrase_key)
         name = (
             f"{phrase_slug}-{kind}-{seed}"
-            if adversarial
+            if (adversarial or collision)
             else f"negative-{kind}-{seed}-x{phrase_slug}"
         )
         os.makedirs(self.directory, exist_ok=True)
@@ -739,7 +747,16 @@ class TrainingFeaturesGenerator:
                     seg_windows = min(missing - written, STREAM_SEGMENT_WINDOWS)
                     seg_seconds = (seg_windows * stride + CLIP_SAMPLES) / 16000.0
                     seg_seed = seed + 7919 * (existing + written)
-                    if adversarial:
+                    if collision:
+                        from heybuddy_tpu.data.streams import (
+                            synth_collision_salad_stream,
+                        )
+
+                        stream = synth_collision_salad_stream(
+                            self.phrase, seg_seconds / 60.0, seg_seed,
+                            tts_backend=self.tts_backend,
+                        )
+                    elif adversarial:
                         stream = synth_adversarial_stream(
                             self.phrase, seg_seconds / 60.0, seg_seed,
                             tts_backend=self.tts_backend,

@@ -37,6 +37,7 @@ from heybuddy_tpu.constants import CLIP_SAMPLES, SAMPLE_RATE
 __all__ = [
     "synth_speech_stream",
     "synth_adversarial_stream",
+    "synth_collision_salad_stream",
     "stream_window_clips",
     "stream_window_count",
     "RUNTIME_WINDOW_STRIDE",
@@ -149,6 +150,55 @@ def synth_adversarial_stream(
             minutes, seed + 1, exclude_phrase=phrase, tts_backend=tts_backend
         )
     return texts_to_stream(texts, minutes, seed + 1, tts_backend=tts_backend)
+
+
+def synth_collision_salad_stream(
+    phrase: str,
+    minutes: float,
+    seed: int,
+    num_texts: int = 160,
+    tts_backend: Optional[str] = None,
+    return_schedule: bool = False,
+) -> Union[np.ndarray, Tuple[np.ndarray, List[dict]]]:
+    """Word salads seeded with the phrase's phonetic-NEIGHBOR words.
+
+    Measured motivation (QUALITY.md round 5): diagnosing the v22 winner's
+    gated stream false positives showed every event was a multi-word salad
+    containing near-collision vocabulary ("since BEAUTY mind STEADY
+    remember", "sea MUDDY"), scored at saturation — a failure mode ordinary
+    speech streams contain too sparsely (~2/hour) to mine efficiently and
+    adversarial streams miss entirely (their texts are short near-collision
+    phrases, not collisions embedded in unrelated context). This stream
+    densifies exactly that surface: random salads where 1-2 words are
+    replaced by lexicon neighbors of the phrase's words.
+
+    The phrase's own words never appear (a negative stream must not plant
+    true positives).
+    """
+    from heybuddy_tpu.text.adversarial import get_adversarial_text_generator
+    from heybuddy_tpu.text.wordlist import WORDS
+
+    words = phrase.lower().split()
+    g = get_adversarial_text_generator()
+    neighbors = sorted(
+        {w for pw in words for w in g.adversarial_words(pw)} - set(words)
+    )
+    rng = np.random.default_rng(seed)
+    vocabulary = sorted(set(WORDS) - set(words))
+    if not neighbors:
+        neighbors = vocabulary  # neighbor-less phrase: plain salad
+    texts: List[str] = []
+    for _ in range(num_texts):
+        n_words = int(rng.integers(2, 7))
+        salad = list(rng.choice(vocabulary, size=n_words, replace=False))
+        n_coll = int(rng.integers(1, 3))
+        for p in rng.choice(n_words, size=min(n_coll, n_words), replace=False):
+            salad[int(p)] = str(rng.choice(neighbors))
+        texts.append(" ".join(salad))
+    return texts_to_stream(
+        texts, minutes, seed, tts_backend=tts_backend,
+        return_schedule=return_schedule,
+    )
 
 
 def stream_window_count(

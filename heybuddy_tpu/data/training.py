@@ -325,6 +325,7 @@ class WakeWordTrainingDatasetIterator(TrainingDatasetIterator):
         partial_samples: int = 0,
         partial_batch_size: int = DEFAULT_PARTIAL_BATCH_SIZE,
         stream_negative_samples: int = 0,
+        collision_negative_samples: int = 0,
         clean_positive_samples: int = 0,
         num_batch_threads: int = DEFAULT_BATCH_THREADS,
         large_negative_dataset: bool = False,
@@ -413,6 +414,17 @@ class WakeWordTrainingDatasetIterator(TrainingDatasetIterator):
             stream_bs = max(partial_batch_size, adversarial_batch_size)
             negative_specs.append((speech_stream, stream_bs))
             negative_specs.append((adv_stream, stream_bs))
+        if collision_negative_samples > 0 and not testing:
+            # Near-collision vocabulary embedded in word salads — the
+            # measured residual stream-FP surface (every gated stream false
+            # positive diagnosed on the round-5 winner was one; see
+            # data/streams.py synth_collision_salad_stream).
+            collision_stream = generator.get_stream_window_features(
+                collision_negative_samples, collision=True
+            )
+            negative_specs.append(
+                (collision_stream, max(partial_batch_size, adversarial_batch_size))
+            )
         return cls(
             num_batch_threads=num_batch_threads,
             positive=positive_specs,

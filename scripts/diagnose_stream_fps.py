@@ -48,6 +48,15 @@ def main() -> None:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # Persistent compile cache: the remote TPU compile of the featurizer is
+    # 300-500 s per process without it (the quality harness sets the same).
+    try:
+        from heybuddy_tpu.utils.downloads import get_cache_dir
+
+        jax.config.update("jax_compilation_cache_dir", get_cache_dir("xla-cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from heybuddy_tpu.constants import CLIP_SAMPLES
     from heybuddy_tpu.data.streams import (
@@ -70,8 +79,10 @@ def main() -> None:
     stride = RUNTIME_WINDOW_STRIDE
     n = stream_window_count(stream)
     scores = np.zeros(n, dtype=np.float32)
-    for i in range(0, n, 512):
-        clips = stream_window_clips(stream, start=i, count=512)
+    # batch 1024 = the shape the quality harness compiles, so the persistent
+    # cache is shared between the two tools
+    for i in range(0, n, 1024):
+        clips = stream_window_clips(stream, start=i, count=1024)
         f = np.asarray(emb(clips), dtype=np.float32)
         scores[i : i + len(clips)] = np.asarray(model(f)).reshape(-1)
 

@@ -131,6 +131,15 @@ def parse_args() -> argparse.Namespace:
                         "them. v10-vs-v11 measured the tradeoff: breadth "
                         "fixes FAR_adv generalization, depth fixes gate "
                         "separation of minimal pairs.")
+    p.add_argument("--collision-streams", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="add collision-salad stream windows (near-collision "
+                        "words inside word salads - the diagnosed residual "
+                        "stream-FP surface) to training negatives and mining")
+    p.add_argument("--far-attribution", type=int, default=0, metavar="N",
+                   help="with N>0, additionally report per-text FAR over N "
+                        "fresh augmented renderings of each held-out "
+                        "adversarial text (which texts carry the FAR tail)")
     p.add_argument("--calibration-seeds", type=int, default=2,
                    help="independent CALIBRATION streams (each --stream-minutes "
                         "long, seed-disjoint from the measurement streams) used "
@@ -181,11 +190,25 @@ def _pipeline_clips(text: str, n: int, seed: int):
 _STREAM_CACHE_DIR: str = ""
 
 
+def _stream_content_tag() -> str:
+    """Hash of everything that determines stream CONTENT beyond the
+    synthesizer versions: the wordlist (speech-stream vocabulary) and the
+    adversarial lexicon source. Round 4 added 4 words to the bundled
+    wordlist without bumping any version — every later run silently loaded
+    pre-change cached streams, and fresh diagnostics synthesized different
+    audio than the reports measured. Content must be part of the key."""
+    import hashlib
+
+    from heybuddy_tpu.text.wordlist import WORDS
+
+    return hashlib.md5(",".join(sorted(set(WORDS))).encode()).hexdigest()[:8]
+
+
 def _cached_stream(kind: str, minutes: float, seed: int, build) -> np.ndarray:
     """Disk-cache rendered stream waveforms: host-side synthesis dominates
     multi-hour fp/hour measurement, and the waveforms are embedding-agnostic
     so they are reusable across configs/embeddings/rounds (VERDICT r2 #3).
-    Keyed on the formant version so synthesizer changes invalidate."""
+    Keyed on the formant/sampling versions AND the stream-content hash."""
     from heybuddy_tpu.models.formant import FORMANT_VERSION
     from heybuddy_tpu.models.tts import SAMPLING_VERSION
 
@@ -194,7 +217,8 @@ def _cached_stream(kind: str, minutes: float, seed: int, build) -> np.ndarray:
     os.makedirs(_STREAM_CACHE_DIR, exist_ok=True)
     path = os.path.join(
         _STREAM_CACHE_DIR,
-        f"{kind}-v{FORMANT_VERSION}.{SAMPLING_VERSION}-{minutes:g}m-{seed}.npy",
+        f"{kind}-v{FORMANT_VERSION}.{SAMPLING_VERSION}"
+        f"-w{_stream_content_tag()}-{minutes:g}m-{seed}.npy",
     )
     if os.path.exists(path):
         return np.load(path)
@@ -245,6 +269,16 @@ def synth_adversarial_stream(phrase: str, minutes: float, seed: int):
 
     return _cached_stream(
         f"adv-{phrase.replace(' ', '-')}", minutes, seed,
+        lambda: _synth(phrase, minutes, seed, tts_backend="formant"),
+    )
+
+
+def synth_collision_stream(phrase: str, minutes: float, seed: int):
+    """Near-collision words embedded in word salads (data/streams.py)."""
+    from heybuddy_tpu.data.streams import synth_collision_salad_stream as _synth
+
+    return _cached_stream(
+        f"collision-{phrase.replace(' ', '-')}", minutes, seed,
         lambda: _synth(phrase, minutes, seed, tts_backend="formant"),
     )
 
@@ -430,6 +464,60 @@ def frr_by_snr_buckets(model, phrase: str, seed: int, thr: float,
     return out
 
 
+def far_attribution(model, texts: list, seed: int, thr: float,
+                    per_text: int = 24) -> dict:
+    """Per-text FAR over fresh augmented renderings of each adversarial text.
+
+    The held-out FAR_adv is a single pooled rate; this resolves WHICH texts
+    carry the tail (the stream-FP diagnosis's analog for the clip metric).
+    Specific texts -> extend hard-negative emphasis; a flat profile -> the
+    feature space can't separate the classes (embedding work, not data).
+
+    Renders per_text clips per text through the training TTS grid, augments
+    each text's batch with the DEFAULT augment chain (one draw per text so
+    the per-text rate isn't confounded by a shared noise draw), and scores.
+    """
+    import jax
+
+    from heybuddy_tpu.constants import CLIP_SAMPLES
+    from heybuddy_tpu.data.augmented import NoiseProvider
+    from heybuddy_tpu.models.featurizer import get_speech_embeddings
+    from heybuddy_tpu.ops.augment import AugmentConfig, augment_batch
+
+    emb = get_speech_embeddings()
+    provider = NoiseProvider(seed=seed + 3, use_remote=True)
+    cfg = AugmentConfig()
+    rates = {}
+    for t_i, text in enumerate(sorted(texts)):
+        clips = _pipeline_clips(text, per_text, seed=seed + 977 * t_i + 5)
+        audio = np.zeros((len(clips), CLIP_SAMPLES), dtype=np.float32)
+        lengths = np.zeros((len(clips),), dtype=np.int32)
+        for i, c in enumerate(clips):
+            n = min(len(c), CLIP_SAMPLES)
+            audio[i, :n] = c[:n]
+            lengths[i] = n
+        noise = provider.noise_batch(len(clips))
+        impulse = provider.impulse_batch(len(clips))
+        key = jax.random.PRNGKey(seed + 31 * t_i)
+        aug = np.asarray(augment_batch(key, audio, lengths, noise, impulse, cfg))
+        scores = np.asarray(model(np.asarray(emb(aug), np.float32))).reshape(-1)
+        rates[text] = round(float(np.mean(scores >= thr)), 4)
+    ranked = sorted(rates.items(), key=lambda kv: -kv[1])
+    firing = [(t, r) for t, r in ranked if r > 0]
+    top5 = sum(r for _, r in ranked[:5])
+    total = sum(r for _, r in ranked)
+    return {
+        "per_text_renderings": per_text,
+        "texts": len(ranked),
+        "texts_firing": len(firing),
+        "top5_share": round(top5 / total, 3) if total else None,
+        "profile": (
+            "SPECIFIC" if total and top5 / total > 0.5 else "DIFFUSE"
+        ),
+        "rates": dict(ranked[:20]),
+    }
+
+
 def main() -> None:
     args = parse_args()
     if args.embedding:
@@ -553,6 +641,13 @@ def main() -> None:
             if args.stream_samples > 0
             else None
         )
+        stream_collision_train = (
+            gen.get_stream_window_features(
+                max(args.stream_samples // 2, 1), collision=True, seed=args.seed
+            )
+            if args.stream_samples > 0 and args.collision_streams
+            else None
+        )
 
     logger.info("=== generating held-out features ===")
     pos_test = gen.get_training_features(args.heldout_samples, adversarial=False, testing=True)
@@ -620,6 +715,8 @@ def main() -> None:
         if stream_train is not None:
             negative_specs.append((stream_train, bs))
             negative_specs.append((stream_adv_train, bs))
+            if stream_collision_train is not None:
+                negative_specs.append((stream_collision_train, bs))
         if mined:
             mined_arr = np.concatenate(mined).astype(np.float32)
             negative_specs.append(
@@ -728,8 +825,14 @@ def main() -> None:
                     args.phrase, max(mine_minutes / 2.0, 1.0),
                     seed=args.seed + 200 + r + 100000 * cand,
                 )
+                mine_streams = [speech_stream, adv_stream]
+                if args.collision_streams:
+                    mine_streams.append(synth_collision_stream(
+                        args.phrase, max(mine_minutes / 2.0, 1.0),
+                        seed=args.seed + 300 + r + 100000 * cand,
+                    ))
                 new_mined = 0
-                for stream in (speech_stream, adv_stream):
+                for stream in mine_streams:
                     feats, scores = sliding_features_scores(cand_model, stream)
                     hard = feats[scores >= args.mine_floor]
                     new_mined += len(hard)
@@ -871,6 +974,26 @@ def main() -> None:
         f"FAR_speech={far_speech:.4f}"
     )
     logger.info(f"score stats: {score_stats}")
+
+    far_attrib = None
+    if args.far_attribution > 0:
+        from heybuddy_tpu.text.adversarial import get_adversarial_text_generator
+
+        # the held-out pool's exact 60 texts (same generator seed adv_test used)
+        heldout_texts = list(get_adversarial_text_generator()(
+            args.phrase, num_samples=60, seed=args.seed
+        ))
+        logger.info("=== per-text FAR attribution ===")
+        far_attrib = far_attribution(
+            model, heldout_texts, seed=args.seed, thr=thr,
+            per_text=args.far_attribution,
+        )
+        logger.info(
+            f"FAR attribution: {far_attrib['texts_firing']}/{far_attrib['texts']} "
+            f"texts fire; top-5 share {far_attrib['top5_share']} "
+            f"({far_attrib['profile']}); top rates "
+            f"{dict(list(far_attrib['rates'].items())[:8])}"
+        )
 
     # Multi-seed streaming: one hour has ~10x seed noise in fp/hour (the same
     # config measured 1.0 and 10.0/hr across seeds in round 2), so the
@@ -1172,6 +1295,7 @@ def main() -> None:
         "all_targets_met": all(targets_met.values()),
         "intervals": intervals,
         "calibrated": calibrated,
+        "far_attribution": far_attrib,
         "frr_by_snr": frr_by_snr,
         "checkpoint": final,
         "wall_s": round(time.time() - t0, 1),

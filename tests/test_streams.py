@@ -31,6 +31,27 @@ def test_adversarial_stream_contract():
     assert stream.dtype == np.float32 and len(stream) == int(0.1 * 60 * 16000)
 
 
+def test_collision_salad_stream_contract():
+    from heybuddy_tpu.data.streams import synth_collision_salad_stream
+
+    stream, schedule = synth_collision_salad_stream(
+        "hey buddy", 0.1, seed=7, tts_backend="formant", return_schedule=True
+    )
+    assert stream.dtype == np.float32 and len(stream) == int(0.1 * 60 * 16000)
+    # salads never contain the phrase's own words (negative stream must not
+    # plant true positives), and DO contain neighbor vocabulary
+    from heybuddy_tpu.text.adversarial import get_adversarial_text_generator
+
+    neighbors = set()
+    for w in "hey buddy".split():
+        neighbors.update(get_adversarial_text_generator().adversarial_words(w))
+    text_words = set()
+    for _, _, text in schedule:
+        text_words.update(text.split())
+    assert not text_words & {"hey", "buddy"}
+    assert text_words & neighbors
+
+
 def test_stream_window_clips_positions():
     stream = np.arange(CLIP_SAMPLES + 2 * RUNTIME_WINDOW_STRIDE, dtype=np.float32)
     clips = stream_window_clips(stream)
@@ -55,6 +76,10 @@ def test_stream_window_features_cached(tmp_path):
     # adversarial variant uses a separate cache
     adv = gen.get_stream_window_features(4, adversarial=True).precalculated[:]
     assert adv.shape == (4, 16, 96)
+    # collision-salad variant: separate cache, same contract
+    coll = gen.get_stream_window_features(4, collision=True).precalculated[:]
+    assert coll.shape == (4, 16, 96)
+    assert not np.array_equal(np.asarray(coll), np.asarray(adv))
 
 
 def test_validation_iterator_uses_disjoint_testing_cache(tmp_path, monkeypatch):
