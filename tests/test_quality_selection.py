@@ -63,3 +63,32 @@ def test_ties_break_on_far_then_rate(qe):
     a = qe.selection_key(0, 2.0, 0.01, 0.01)[0]
     b = qe.selection_key(0, 2.0, 0.03, 0.01)[0]
     assert a < b
+
+
+def test_far_attribution_contract(qe):
+    # Per-text FAR attribution: rates per text, ranked, concentration stats.
+    # A constant-score model makes the expected rates exact.
+    class Fire:
+        def __call__(self, feats):
+            import numpy as np
+
+            return np.ones((feats.shape[0], 1), dtype=np.float32)
+
+    out = qe.far_attribution(
+        Fire(), ["hey bunny", "say study"], seed=0, thr=0.5, per_text=2
+    )
+    assert out["texts"] == 2 and out["texts_firing"] == 2
+    assert set(out["rates"]) == {"hey bunny", "say study"}
+    assert all(r == 1.0 for r in out["rates"].values())
+    assert out["profile"] in ("SPECIFIC", "DIFFUSE")
+
+    class Silent:
+        def __call__(self, feats):
+            import numpy as np
+
+            return np.zeros((feats.shape[0], 1), dtype=np.float32)
+
+    quiet = qe.far_attribution(
+        Silent(), ["hey bunny"], seed=0, thr=0.5, per_text=2
+    )
+    assert quiet["texts_firing"] == 0 and quiet["top5_share"] is None
