@@ -346,7 +346,13 @@ class NeuralPhonemizer:
     name = "neural"
 
     def __init__(self, weights: Optional[str] = None) -> None:
-        path = weights or os.environ.get("HEYBUDDY_G2P_WEIGHTS", "")
+        bundled = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "assets", "g2p-neural.npz",
+        )
+        path = weights or os.environ.get("HEYBUDDY_G2P_WEIGHTS", "") or (
+            bundled if os.path.exists(bundled) else ""
+        )
         if not path or not os.path.exists(path):
             raise FileNotFoundError(
                 "NeuralPhonemizer needs a checkpoint: set HEYBUDDY_G2P_WEIGHTS "

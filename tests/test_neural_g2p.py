@@ -77,10 +77,15 @@ def test_phonemizer_contract(trained):
     assert ph("hello world") == out
 
 
-def test_phonemizer_requires_weights(monkeypatch):
-    monkeypatch.delenv("HEYBUDDY_G2P_WEIGHTS", raising=False)
+def test_phonemizer_missing_weights_raise():
     with pytest.raises(FileNotFoundError):
-        NeuralPhonemizer()
+        NeuralPhonemizer(weights="/nonexistent/g2p.npz")
+
+
+def test_phonemizer_defaults_to_bundled_asset(monkeypatch):
+    monkeypatch.delenv("HEYBUDDY_G2P_WEIGHTS", raising=False)
+    ph = NeuralPhonemizer()  # bundled assets/g2p-neural.npz
+    assert ph.word_phones("buddy")  # decodes through the numpy path
 
 
 def test_get_phonemizer_neural_backend(trained, monkeypatch):
