@@ -40,6 +40,42 @@ __all__ = ["TrainingFeaturesGenerator"]
 _SEED_NAMESPACE = 10_000_000
 
 
+def _texts_sidecar_path(npy_path: str) -> str:
+    return os.path.splitext(npy_path)[0] + ".texts.json"
+
+
+def _merge_texts_sidecar(npy_path: str, texts: List[str]) -> None:
+    """Record the EXACT adversarial text pool rendered into a cache.
+
+    The pool depends on the chunk seed (``seed + existing + namespace``), so
+    a cache grown across runs can span several 60-text pools; diagnostics
+    that claim to score "the held-out pool's texts" (far_attribution) must
+    read this record rather than re-deriving one pool from the base seed —
+    measured drift was 44/60 texts before this existed. Union-merged so
+    top-ups extend rather than overwrite."""
+    import json
+
+    path = _texts_sidecar_path(npy_path)
+    merged = set(texts)
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                merged |= set(json.load(f))
+        except (OSError, ValueError):
+            pass
+    with open(path, "w") as f:
+        json.dump(sorted(merged), f)
+
+
+def _remove_cache(npy_path: str) -> None:
+    """Remove a stale cache .npy together with its texts sidecar (the space
+    sidecar is overwritten unconditionally by the caller)."""
+    os.remove(npy_path)
+    sidecar = _texts_sidecar_path(npy_path)
+    if os.path.exists(sidecar):
+        os.remove(sidecar)
+
+
 def autoconfigure_batch_sizes() -> Dict[str, int]:
     """
     Resource-tiered batch sizes (equivalent of reference features.py:171-218,
@@ -394,6 +430,8 @@ class TrainingFeaturesGenerator:
             **generator_kwargs,
         )
         assert store is not None
+        if adversarial:
+            _merge_texts_sidecar(store.path, speech.get_adversarial_texts())
         if self._use_fused_pipeline():
             return self._featurize_plan_stream(
                 speech(num_samples, yield_plans=True), pad_only=pad_only,
@@ -419,7 +457,7 @@ class TrainingFeaturesGenerator:
         from heybuddy_tpu.data.space import active_space, check_cache_space, write_space_sidecar
 
         if os.path.exists(path) and (not self.use_cache or not check_cache_space(path, self.tts_backend)):
-            os.remove(path)
+            _remove_cache(path)
 
         store = AppendableNpyFile(path)
         write_space_sidecar(path, active_space(self.tts_backend))
@@ -489,6 +527,52 @@ class TrainingFeaturesGenerator:
             num_samples, adversarial=False, testing=testing, validation=True
         )
 
+    def adversarial_texts(
+        self,
+        testing: bool = False,
+        validation: bool = False,
+        partial: bool = False,
+        adversarial_phrases: Optional[int] = None,
+    ) -> List[str]:
+        """The EXACT adversarial text pool rendered into a cache kind.
+
+        Reads the ``.texts.json`` sidecar recorded at generation time (the
+        pool depends on the chunk seed, so re-deriving it from the base seed
+        diverges once a cache was grown across runs — measured 44/60 drift in
+        far_attribution before this existed). Falls back to deriving the
+        first chunk's pool for pre-sidecar caches, which is exact whenever
+        the cache was built in one run (every cache under
+        DEFAULT_FEATURE_BATCH_SIZE rows)."""
+        import json
+
+        name = self._cache_name(True, testing, validation, partial=partial)
+        path = os.path.join(self.directory, f"{name}.npy")
+        sidecar = _texts_sidecar_path(path)
+        if os.path.exists(sidecar):
+            try:
+                with open(sidecar) as f:
+                    return list(json.load(f))
+            except (OSError, ValueError):
+                pass
+        if validation:
+            block = 8 if testing else 7
+        elif partial:
+            block = 3 if testing else 2
+        else:
+            block = 1 if testing else 0
+        generator_kwargs = dict(self.generator_kwargs)
+        if adversarial_phrases is not None:
+            generator_kwargs["num_adversarial_texts"] = adversarial_phrases
+        speech = SpeechSampleGenerator(
+            self.phrase,
+            adversarial=True,
+            batch_size=self.tts_batch_size,
+            seed=self.seed + _SEED_NAMESPACE * block,
+            tts_backend=self.tts_backend,
+            **generator_kwargs,
+        )
+        return speech.get_adversarial_texts()
+
     def get_partial_phrase_features(
         self,
         num_samples: int,
@@ -527,7 +611,7 @@ class TrainingFeaturesGenerator:
         from heybuddy_tpu.data.space import active_space, check_cache_space, write_space_sidecar
 
         if os.path.exists(path) and (not self.use_cache or not check_cache_space(path, self.tts_backend)):
-            os.remove(path)
+            _remove_cache(path)
         store = AppendableNpyFile(path)
         write_space_sidecar(path, active_space(self.tts_backend))
         existing = len(store)
@@ -560,6 +644,8 @@ class TrainingFeaturesGenerator:
                 tts_backend=self.tts_backend,
                 **generator_kwargs,
             )
+            if adversarial:
+                _merge_texts_sidecar(path, speech.get_adversarial_texts())
             featurize = (
                 self._featurize_plan_stream
                 if self._use_fused_pipeline()
@@ -613,7 +699,7 @@ class TrainingFeaturesGenerator:
         from heybuddy_tpu.data.space import active_space, check_cache_space, write_space_sidecar
 
         if os.path.exists(path) and (not self.use_cache or not check_cache_space(path, self.tts_backend)):
-            os.remove(path)
+            _remove_cache(path)
         store = AppendableNpyFile(path)
         write_space_sidecar(path, active_space(self.tts_backend))
         existing = len(store)
@@ -646,6 +732,8 @@ class TrainingFeaturesGenerator:
                 tts_backend=self.tts_backend,
                 **generator_kwargs,
             )
+            if adversarial:
+                _merge_texts_sidecar(path, speech.get_adversarial_texts())
             if self._use_fused_pipeline():
                 self._featurize_plan_stream(
                     speech(missing, yield_plans=True),
@@ -720,7 +808,7 @@ class TrainingFeaturesGenerator:
         from heybuddy_tpu.data.space import active_space, check_cache_space, write_space_sidecar
 
         if os.path.exists(path) and (not self.use_cache or not check_cache_space(path, self.tts_backend)):
-            os.remove(path)
+            _remove_cache(path)
         store = AppendableNpyFile(path)
         write_space_sidecar(path, active_space(self.tts_backend))
         existing = len(store)
@@ -810,7 +898,7 @@ class TrainingFeaturesGenerator:
         if os.path.exists(path) and (
             not self.use_cache or not check_cache_space(path, self.tts_backend)
         ):
-            os.remove(path)
+            _remove_cache(path)
         store = AppendableNpyFile(path)
         write_space_sidecar(path, active_space(self.tts_backend))
         existing = len(store)

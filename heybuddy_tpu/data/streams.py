@@ -195,8 +195,14 @@ def synth_collision_salad_stream(
         for p in rng.choice(n_words, size=min(n_coll, n_words), replace=False):
             salad[int(p)] = str(rng.choice(neighbors))
         texts.append(" ".join(salad))
+    # seed+2: speech streams render at `seed` and adversarial at `seed+1`;
+    # reusing either here would give collision segments the exact
+    # speaker/settings/gap/noise RNG draws of another negative kind
+    # segment-for-segment (callers stride all kinds by the same row-offset
+    # formula), collapsing effective negative diversity. Changing this
+    # offset invalidates cached collision-stream features.
     return texts_to_stream(
-        texts, minutes, seed, tts_backend=tts_backend,
+        texts, minutes, seed + 2, tts_backend=tts_backend,
         return_schedule=return_schedule,
     )
 

@@ -23,6 +23,7 @@ class WakeWordONNXModel(WakeWordInferenceMixin):
         self.path = path
         self._session = None
         self._runner = None
+        self._batch_ok: Any = None  # None = unverified, set on first batched call
         try:
             import onnxruntime  # type: ignore[import-not-found]
 
@@ -44,11 +45,25 @@ class WakeWordONNXModel(WakeWordInferenceMixin):
         # one graph walk — per-row looping made multi-hour stream re-scoring
         # (~30k windows/stream-hour) prohibitively slow. Fall back to the
         # row loop if the graph turns out to bake batch-1 shapes in.
-        if self._runner is not None and len(features) > 1:
+        if self._runner is not None and len(features) > 1 and self._batch_ok is not False:
             try:
                 out = np.asarray(self._runner(input=features)["output"])
                 if out.shape[:1] == features.shape[:1]:
-                    return out
+                    # A preserved leading dim is necessary but not sufficient:
+                    # an op that mixes across the batch (a reduction/reshape a
+                    # future exporter change introduces) keeps the shape while
+                    # corrupting every row. Cross-check one row against the
+                    # single-row path on the first batched call and cache the
+                    # verdict — multi-hour stream re-scoring rides this path.
+                    if self._batch_ok is None:
+                        single = np.asarray(
+                            self._runner(input=features[:1])["output"]
+                        )
+                        self._batch_ok = bool(
+                            np.allclose(out[0], single[0], rtol=1e-4, atol=1e-5)
+                        )
+                    if self._batch_ok:
+                        return out
             except Exception:
                 pass
         outputs = []

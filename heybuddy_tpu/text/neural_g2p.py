@@ -287,13 +287,18 @@ class NeuralG2P:
             if k == "__config__":
                 continue
             parts = k.split("/")
+            # Load as HOST numpy: the deployment forward (NeuralPhonemizer)
+            # is numpy-only and may be instantiated lazily inside a TTS
+            # producer thread, where device transfers on the remote-TPU
+            # tunnel hang (CLAUDE.md thread gotcha). Training/jit callers
+            # get device placement for free when jnp ops consume these.
             if parts[0] == "blocks":
                 blk = params["blocks"][int(parts[1])]
-                blk.setdefault(parts[2], {})[parts[3]] = jnp.asarray(data[k])
+                blk.setdefault(parts[2], {})[parts[3]] = np.asarray(data[k])
             elif len(parts) == 2:
-                params.setdefault(parts[0], {})[parts[1]] = jnp.asarray(data[k])
+                params.setdefault(parts[0], {})[parts[1]] = np.asarray(data[k])
             else:
-                params[k] = jnp.asarray(data[k])
+                params[k] = np.asarray(data[k])
         return model, params
 
 

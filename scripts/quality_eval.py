@@ -192,16 +192,29 @@ _STREAM_CACHE_DIR: str = ""
 
 def _stream_content_tag() -> str:
     """Hash of everything that determines stream CONTENT beyond the
-    synthesizer versions: the wordlist (speech-stream vocabulary) and the
-    adversarial lexicon source. Round 4 added 4 words to the bundled
-    wordlist without bumping any version — every later run silently loaded
-    pre-change cached streams, and fresh diagnostics synthesized different
-    audio than the reports measured. Content must be part of the key."""
+    synthesizer versions: the wordlist (speech-stream vocabulary), the
+    phonemizer backend, and the adversarial lexicon source. Round 4 added 4
+    words to the bundled wordlist without bumping any version — every later
+    run silently loaded pre-change cached streams, and fresh diagnostics
+    synthesized different audio than the reports measured. Content must be
+    part of the key. The g2p/lexicon terms mirror ``tts_provenance``
+    (data/space.py): synthesis routes through ``get_phonemizer()`` and the
+    adversarial vocabulary depends on CMUdict availability, so switching
+    either would otherwise silently reuse streams rendered under the old
+    backend. Defaults (simple g2p, builtin lexicon) contribute nothing so
+    pre-existing caches stay keyed identically."""
     import hashlib
 
+    from heybuddy_tpu.text.phonemizer import get_phonemizer, load_cmudict
     from heybuddy_tpu.text.wordlist import WORDS
 
-    return hashlib.md5(",".join(sorted(set(WORDS))).encode()).hexdigest()[:8]
+    payload = ",".join(sorted(set(WORDS)))
+    g2p = getattr(get_phonemizer(), "name", "simple")
+    if g2p != "simple":
+        payload += f"|g2p:{g2p}"
+    if load_cmudict() is not None:
+        payload += "|lex:cmu"
+    return hashlib.md5(payload.encode()).hexdigest()[:8]
 
 
 def _cached_stream(kind: str, minutes: float, seed: int, build) -> np.ndarray:
@@ -977,12 +990,16 @@ def main() -> None:
 
     far_attrib = None
     if args.far_attribution > 0:
-        from heybuddy_tpu.text.adversarial import get_adversarial_text_generator
-
-        # the held-out pool's exact 60 texts (same generator seed adv_test used)
-        heldout_texts = list(get_adversarial_text_generator()(
-            args.phrase, num_samples=60, seed=args.seed
-        ))
+        # The EXACT text pool the adv_test cache rendered (recorded in its
+        # .texts.json sidecar at generation time). Re-deriving 60 texts from
+        # args.seed measured only 16/60 overlap with the real pool — the
+        # adversarial caches seed their generator at
+        # seed + existing + _SEED_NAMESPACE (testing block), not args.seed —
+        # so earlier committed attributions mostly ranked texts OUTSIDE the
+        # held-out FAR_adv pool while claiming otherwise.
+        heldout_texts = gen_heldout.adversarial_texts(
+            testing=True, adversarial_phrases=60
+        )
         logger.info("=== per-text FAR attribution ===")
         far_attrib = far_attribution(
             model, heldout_texts, seed=args.seed, thr=thr,

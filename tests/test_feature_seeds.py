@@ -88,3 +88,113 @@ def test_stream_window_cache_honors_use_cache(tmp_path, monkeypatch):
     )
     it2 = gen2.get_stream_window_features(2, adversarial=False)
     assert len(it2) == 3
+
+
+def _patch_featurize(monkeypatch):
+    """Run the REAL generate() (so the texts sidecar is recorded) but skip
+    TTS/augment/featurization — append zero rows instead."""
+
+    def fake_featurize(self, samples, pad_only=False, store=None, limit=0,
+                       seed_offset=0, config=None):
+        store.append(np.zeros((limit, 16, 96), np.float32))
+        return limit
+
+    monkeypatch.setattr(
+        TrainingFeaturesGenerator, "_featurize_stream", fake_featurize
+    )
+    monkeypatch.setattr(
+        TrainingFeaturesGenerator, "_featurize_plan_stream", fake_featurize
+    )
+
+
+def test_adversarial_texts_match_rendered_pool(tmp_path, monkeypatch):
+    """ADVICE r4 medium: far_attribution claimed to score the held-out pool's
+    exact texts but re-derived them from the base seed (16/60 overlap). The
+    texts sidecar must record the pool generate() actually rendered, and
+    adversarial_texts() must return it."""
+    from heybuddy_tpu.data.features import _texts_sidecar_path
+    from heybuddy_tpu.data.tts_generator import SpeechSampleGenerator
+
+    monkeypatch.setenv("HEYBUDDY_DATASET_DIR", str(tmp_path))
+    _patch_featurize(monkeypatch)
+    gen = TrainingFeaturesGenerator(
+        phrase="hey buddy", directory=str(tmp_path), seed=11
+    )
+    gen.get_training_features(4, adversarial=True, adversarial_phrases=12,
+                              testing=True)
+
+    # The pool the chunk's SpeechSampleGenerator drew (same seed arithmetic
+    # generate() used: base + existing(0) + testing namespace block).
+    expected = SpeechSampleGenerator(
+        "hey buddy", adversarial=True, seed=11 + _SEED_NAMESPACE * 1,
+        num_adversarial_texts=12,
+    ).get_adversarial_texts()
+
+    name = gen._cache_name(True, True, False)
+    sidecar = _texts_sidecar_path(os.path.join(str(tmp_path), f"{name}.npy"))
+    assert os.path.exists(sidecar)
+    got = gen.adversarial_texts(testing=True, adversarial_phrases=12)
+    assert sorted(got) == sorted(expected)
+
+    # A top-up chunk draws a DIFFERENT pool (seed advances by existing rows);
+    # the sidecar must accumulate the union, not overwrite.
+    gen.get_training_features(8, adversarial=True, adversarial_phrases=12,
+                              testing=True)
+    topped = SpeechSampleGenerator(
+        "hey buddy", adversarial=True, seed=11 + 4 + _SEED_NAMESPACE * 1,
+        num_adversarial_texts=12,
+    ).get_adversarial_texts()
+    union = gen.adversarial_texts(testing=True, adversarial_phrases=12)
+    assert set(expected) <= set(union)
+    assert set(topped) <= set(union)
+
+
+def test_adversarial_texts_fallback_without_sidecar(tmp_path, monkeypatch):
+    """Pre-sidecar caches: derive the first chunk's pool from the cache-kind
+    seed block (exact for any cache built in one run)."""
+    from heybuddy_tpu.data.tts_generator import SpeechSampleGenerator
+
+    monkeypatch.setenv("HEYBUDDY_DATASET_DIR", str(tmp_path))
+    gen = TrainingFeaturesGenerator(
+        phrase="hey buddy", directory=str(tmp_path), seed=7
+    )
+    expected = SpeechSampleGenerator(
+        "hey buddy", adversarial=True, seed=7 + _SEED_NAMESPACE * 1,
+        num_adversarial_texts=9,
+    ).get_adversarial_texts()
+    got = gen.adversarial_texts(testing=True, adversarial_phrases=9)
+    assert sorted(got) == sorted(expected)
+
+
+def test_stale_cache_removal_drops_texts_sidecar(tmp_path, monkeypatch):
+    """use_cache=False must remove the texts sidecar with the .npy, or a
+    regenerated cache would report a union polluted by the discarded pool."""
+    from heybuddy_tpu.data.features import _texts_sidecar_path
+
+    monkeypatch.setenv("HEYBUDDY_DATASET_DIR", str(tmp_path))
+    _patch_featurize(monkeypatch)
+    gen = TrainingFeaturesGenerator(
+        phrase="hey buddy", directory=str(tmp_path), seed=3
+    )
+    gen.get_training_features(2, adversarial=True, adversarial_phrases=6,
+                              testing=True)
+    name = gen._cache_name(True, True, False)
+    path = os.path.join(str(tmp_path), f"{name}.npy")
+    sidecar = _texts_sidecar_path(path)
+    assert os.path.exists(sidecar)
+
+    gen2 = TrainingFeaturesGenerator(
+        phrase="hey buddy", directory=str(tmp_path), seed=3, use_cache=False
+    )
+    gen2.get_training_features(2, adversarial=True, adversarial_phrases=6,
+                               testing=True)
+    # sidecar was rebuilt fresh (removed with the stale npy, re-recorded)
+    import json
+    with open(sidecar) as f:
+        texts = json.load(f)
+    from heybuddy_tpu.data.tts_generator import SpeechSampleGenerator
+    expected = SpeechSampleGenerator(
+        "hey buddy", adversarial=True, seed=3 + _SEED_NAMESPACE * 1,
+        num_adversarial_texts=6,
+    ).get_adversarial_texts()
+    assert sorted(texts) == sorted(expected)

@@ -135,3 +135,45 @@ def test_onnx_runner_batched_matches_per_row(tmp_path):
     per_row = np.stack([np.asarray(onnx_model(row[None]))[0] for row in x])
     np.testing.assert_allclose(batched, per_row, atol=1e-6)
     assert batched.shape == (5, 1)
+
+
+def test_onnx_runner_batch_mixing_falls_back_to_row_loop(tmp_path):
+    """ADVICE r4 low: a graph op that mixes across the batch while preserving
+    the leading dim must be caught by the first-call cross-check (one batched
+    row vs the single-row path) and routed to the per-row loop — a shape-only
+    check would silently corrupt multi-hour stream re-scoring."""
+    from heybuddy_tpu.runtime.onnx_model import WakeWordONNXModel
+
+    model = WakeWordMLPModel()
+    path = str(tmp_path / "ww_mix.onnx")
+    model.save_onnx(path)
+    onnx_model = WakeWordONNXModel(path)
+    if onnx_model._runner is None:
+        pytest.skip("onnxruntime session path: no batched numpy fast path")
+
+    true_runner = onnx_model._runner
+
+    class MixingRunner:
+        """Corrupts multi-row outputs (batch-mean broadcast) but answers
+        single-row calls exactly — the failure mode the shape check misses."""
+
+        def __call__(self, **kw):
+            out = dict(true_runner(**kw))
+            y = np.asarray(out["output"])
+            if y.shape[0] > 1:
+                out["output"] = np.broadcast_to(
+                    y.mean(axis=0, keepdims=True), y.shape
+                ).copy()
+            return out
+
+    onnx_model._runner = MixingRunner()
+    x = np.random.default_rng(3).normal(size=(6, 16, 96)).astype(np.float32)
+    got = np.asarray(onnx_model(x))
+    expected = np.stack([np.asarray(true_runner(input=row[None])["output"])[0] for row in x])
+    np.testing.assert_allclose(got, expected, atol=1e-6)
+    assert onnx_model._batch_ok is False  # verdict cached: no re-probe per call
+
+    # Healthy runner: the fast path is kept after one successful cross-check.
+    healthy = WakeWordONNXModel(path)
+    _ = np.asarray(healthy(x))
+    assert healthy._batch_ok is True
