@@ -187,6 +187,23 @@ def _pipeline_clips(text: str, n: int, seed: int):
     return clips
 
 
+def _sliding_context(clip: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Embed a rendered clip in silence at a random stream offset, with
+    context on BOTH sides (deployment is a continuous stream): with no
+    trailing room, placements in the last ~0.5 s leave fewer than 2 windows
+    fully containing the phrase and the consecutive gate CANNOT fire — 7 of
+    20 draws were geometrically impossible, understating every config's
+    recall (~0.65 measured vs 1.00 on valid placements, v10)."""
+    from heybuddy_tpu.data.streams import RUNTIME_WINDOW_STRIDE
+
+    lead = 2 * 16000
+    trail = 24000
+    ctx = np.zeros(lead + len(clip) + trail, dtype=np.float32)
+    off = int(rng.integers(2 * RUNTIME_WINDOW_STRIDE, lead))
+    ctx[off : off + len(clip)] = clip
+    return ctx
+
+
 _STREAM_CACHE_DIR: str = ""
 
 
@@ -398,11 +415,17 @@ def poisson_rate_interval(k: int, hours: float) -> list:
 
 
 def selection_key(det2: int, sel_hours: float, sel_far: float,
-                  sel_frr_off: float) -> tuple:
+                  sel_frr_off: float, sel_recall: float = 1.0) -> tuple:
     """Rank a selection candidate; lower tuples win.
 
-    Returns ``(key_tuple, fp2, fp2_upper, penalty)``. Two round-4 lessons
-    are encoded here (QUALITY.md "Round 4"):
+    Returns ``(key_tuple, fp2, fp2_upper, penalty)``. Three campaign lessons
+    are encoded here (QUALITY.md "Round 4" + round-4 tail):
+
+    - Recall gates lexicographically FIRST: v23 won selection while dropping
+      a detection (the program's first sub-1.0 recall, 39/40) because
+      nothing in the key priced a missed wake. A candidate that fires the
+      gate on every selection rendering of the phrase outranks any candidate
+      that misses one, regardless of FAR or stream draw.
 
     - Selection streams are short (1-2 h), so the gated-rate point estimate
       cannot resolve rates near the 1.5/hr target: a true-3/hr candidate
@@ -423,8 +446,45 @@ def selection_key(det2: int, sel_hours: float, sel_far: float,
         + max(0.0, sel_frr_off - 0.05) * 20.0
         + max(0.0, fp2_upper - 1.5)
     )
-    key = (0 if sel_far <= 0.05 else 1, pen, sel_far + 0.1 * fp2)
+    key = (
+        0 if sel_recall >= 1.0 else 1,
+        0 if sel_far <= 0.05 else 1,
+        pen,
+        sel_far + 0.1 * fp2,
+    )
     return key, fp2, fp2_upper, pen
+
+
+def operating_point_warnings(threshold: float, frr: float, hours: float,
+                             target_per_hour: float = 1.5) -> list:
+    """Degeneracy checks for a calibrated/operating threshold block.
+
+    v24b (reports/quality-v24b-fixedweight-probe.json) shipped
+    ``operating_frr: 1.0`` without a flag: ``operating_threshold`` exhausted
+    its grid (returned 1.0) because the streams ran too hot for ANY
+    threshold to meet the target, and every single-window metric computed at
+    that threshold was meaningless. The gate-aware validation counter got a
+    can't-resolve guard in round 3; this is the same guard for the
+    calibration/operating path. Returns a list of human-readable warnings —
+    empty means the block is interpretable."""
+    warnings = []
+    if hours * target_per_hour < 1.0:
+        warnings.append(
+            f"{hours:g} stream-hours cannot resolve {target_per_hour:g}/hr "
+            f"(need >= {1.0 / target_per_hour:.2f} h for one expected event)"
+        )
+    if threshold >= 0.9999:
+        warnings.append(
+            f"threshold {threshold:g} is at the grid ceiling: no threshold "
+            "met the target rate on these streams; metrics at this "
+            "threshold are degenerate"
+        )
+    if frr >= 0.99:
+        warnings.append(
+            f"FRR {frr:g} at this threshold: the threshold sits above the "
+            "positive score mass; recall metrics are meaningless here"
+        )
+    return warnings
 
 
 def frr_by_snr_buckets(model, phrase: str, seed: int, thr: float,
@@ -886,6 +946,18 @@ def main() -> None:
             sel_off_feats = np.asarray(
                 val_clean_offset.precalculated[:], dtype=np.float32
             )
+            # Selection-time recall: sliding renderings of the phrase itself
+            # (disjoint seed from the report's sliding check). v23 won
+            # selection while dropping a held-out detection because nothing
+            # in the key priced a missed wake; the recall gate needs its own
+            # measurement to act on.
+            sel_rng = np.random.default_rng(args.seed + 515151)
+            sel_pos_ctx = [
+                _sliding_context(clip, sel_rng)
+                for clip in _pipeline_clips(
+                    args.phrase, 12, seed=args.seed + 515151
+                )
+            ]
             selection = []
             best = None
             all_mined: list = []
@@ -902,8 +974,15 @@ def main() -> None:
                 sel_frr_off = float(np.mean(
                     np.asarray(model_c(sel_off_feats)).reshape(-1) < args.threshold
                 ))
+                sel_recall = float(np.mean([
+                    int(count_detections(
+                        sliding_scores(model_c, ctx), args.threshold,
+                        consecutive=2,
+                    ) > 0)
+                    for ctx in sel_pos_ctx
+                ])) if sel_pos_ctx else 1.0
                 key, fp2, fp2_upper, pen = selection_key(
-                    det2, sel_hours, sel_far, sel_frr_off,
+                    det2, sel_hours, sel_far, sel_frr_off, sel_recall,
                 )
                 entry = {
                     "candidate": label,
@@ -911,6 +990,7 @@ def main() -> None:
                     "sel_fp_per_hour_c2_upper": round(fp2_upper, 3),
                     "sel_far_adversarial": round(sel_far, 4),
                     "sel_frr_clean_offset": round(sel_frr_off, 4),
+                    "sel_recall_c2": round(sel_recall, 4),
                     "penalty": round(pen, 4),
                 }
                 selection.append(entry)
@@ -1067,6 +1147,9 @@ def main() -> None:
         f"operating point: thr={op_thr} -> {op_fp_per_hour:.2f} fp/hr, "
         f"FRR={op_frr:.4f} (clean {op_frr_clean:.4f})"
     )
+    op_warnings = operating_point_warnings(op_thr, op_frr, hours)
+    for w in op_warnings:
+        logger.warning(f"operating point (raw): {w}")
 
     # Consecutive-window gate (runtime/detection.py): stream FPs are mostly
     # single-window spikes while a true utterance holds the phrase inside the
@@ -1081,6 +1164,9 @@ def main() -> None:
         f"consecutive=2 gate: {fp_per_hour_c2:.2f} fp/hr at thr={thr}; "
         f"operating thr={op_thr_c2} -> FRR={op_frr_c2:.4f} (clean {op_frr_clean_c2:.4f})"
     )
+    op_warnings_c2 = operating_point_warnings(op_thr_c2, op_frr_c2, hours)
+    for w in op_warnings_c2:
+        logger.warning(f"operating point (c2): {w}")
 
     logger.info("=== sliding-offset phrase check (pipeline-rendered) ===")
     rng = np.random.default_rng(args.seed + 5)
@@ -1097,19 +1183,7 @@ def main() -> None:
         fired_c2 = []
         sliding_runs[text] = []
         for clip in _pipeline_clips(text, n_clips, seed=args.seed + 5):
-            # Context surrounds the clip on BOTH sides (deployment is a
-            # continuous stream): with no trailing room, placements in the
-            # last ~0.5 s leave fewer than 2 windows fully containing the
-            # phrase and the consecutive gate CANNOT fire — 7 of 20 draws
-            # were geometrically impossible, understating every config's
-            # recall (~0.65 measured vs 1.00 on valid placements, v10).
-            from heybuddy_tpu.data.streams import RUNTIME_WINDOW_STRIDE
-
-            lead = 2 * 16000
-            trail = 24000
-            ctx = np.zeros(lead + len(clip) + trail, dtype=np.float32)
-            off = int(rng.integers(2 * RUNTIME_WINDOW_STRIDE, lead))
-            ctx[off : off + len(clip)] = clip
+            ctx = _sliding_context(clip, rng)
             s = sliding_scores(model, ctx)
             sliding_runs[text].append(s)
             maxima.append(float(s.max()) if s.size else 0.0)
@@ -1169,9 +1243,14 @@ def main() -> None:
             "frr_clean_offset<=0.05": cal_frr_clean_offset <= 0.05,
             "fp_per_hour_c2<=1.5": cal_fp_per_hour_c2 <= 1.5,
         }
+        cal_warnings = operating_point_warnings(cal_thr, cal_frr_clean, cal_hours)
+        for w in cal_warnings:
+            logger.warning(f"calibrated block: {w}")
         calibrated = {
             "threshold": cal_thr,
             "calibration_hours": round(cal_hours, 2),
+            "warnings": cal_warnings,
+            "degenerate": bool(cal_warnings),
             "fp_per_hour_c2": round(cal_fp_per_hour_c2, 3),
             "fp_per_hour_runs_c2": [round(v, 2) for v in cal_fp_c2_runs],
             "sliding_recall_c2": cal_recall,
@@ -1297,6 +1376,7 @@ def main() -> None:
         "operating_frr_clean": round(op_frr_clean, 4),
         "operating_frr_clean_offset": round(op_frr_clean_offset, 4),
         "fp_per_hour_consecutive2": round(float(fp_per_hour_c2), 3),
+        "operating_warnings": op_warnings + op_warnings_c2,
         "operating_threshold_consecutive2": op_thr_c2,
         "operating_frr_consecutive2": round(op_frr_c2, 4),
         "operating_frr_clean_consecutive2": round(op_frr_clean_c2, 4),

@@ -92,3 +92,41 @@ def test_far_attribution_contract(qe):
         Silent(), ["hey bunny"], seed=0, thr=0.5, per_text=2
     )
     assert quiet["texts_firing"] == 0 and quiet["top5_share"] is None
+
+
+def test_recall_gate_is_lexicographic_first(qe):
+    # The v23 regression (QUALITY.md round-4 tail): a candidate that drops a
+    # selection rendering of the phrase must lose to one that fires on all of
+    # them, even with better FAR and a luckier stream draw.
+    misses_one = qe.selection_key(0, 2.0, 0.01, 0.01, sel_recall=11 / 12)[0]
+    full_recall = qe.selection_key(6, 2.0, 0.049, 0.04, sel_recall=1.0)[0]
+    assert full_recall < misses_one
+    # The recall gate outranks even the FAR gate: a full-recall candidate
+    # over the FAR target still beats a recall-dropping FAR-clean one.
+    full_recall_far_fail = qe.selection_key(0, 2.0, 0.08, 0.01, sel_recall=1.0)[0]
+    assert full_recall_far_fail < misses_one
+    # Default (no recall measurement) behaves as full recall.
+    assert qe.selection_key(0, 2.0, 0.01, 0.01)[0] == qe.selection_key(
+        0, 2.0, 0.01, 0.01, sel_recall=1.0
+    )[0]
+
+
+def test_operating_point_warnings_flags_v24b_degeneracy(qe):
+    # The exact v24b block: threshold pushed to 1.0 (grid ceiling) with
+    # operating_frr 1.0 — both degeneracies must be flagged.
+    w = qe.operating_point_warnings(1.0, 1.0, 1.0)
+    assert len(w) == 2
+    assert any("ceiling" in m for m in w)
+    assert any("positive score mass" in m for m in w)
+
+
+def test_operating_point_warnings_flags_unresolvable_hours(qe):
+    # 0.5 h of stream cannot resolve 1.5/hr (needs >= 0.67 h for one
+    # expected event) — the same guard the gate-aware validation counter got.
+    w = qe.operating_point_warnings(0.68, 0.02, 0.5)
+    assert len(w) == 1
+    assert "cannot resolve" in w[0]
+
+
+def test_operating_point_warnings_empty_for_healthy_block(qe):
+    assert qe.operating_point_warnings(0.68, 0.015, 6.0) == []
