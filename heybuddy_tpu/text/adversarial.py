@@ -342,6 +342,67 @@ def prefix_negative_texts(
     return texts
 
 
+def single_swap_collision_texts(
+    phrase: str,
+    num_samples: int = 48,
+    seed: int = 0,
+    exclude: Optional[List[str]] = None,
+) -> List[str]:
+    """Texts differing from ``phrase`` in EXACTLY ONE word, swapped with a
+    phonetic neighbor — the maximal-overlap collision class.
+
+    Motivation (QUALITY.md round-4 tail): the v23 per-text FAR attribution
+    put the held-out FAR_adv mass on texts keeping all-but-one word of the
+    wake phrase verbatim ("hate buddy" 0.625, "hey buddies" 0.625, "hey
+    duty" 0.5, "hey body" 0.417). The generic adversarial generator swaps
+    each word INDEPENDENTLY (keep probability ``input_words_ratio`` = 0.33
+    per word), so for a 2-word phrase only ~44% of its pool is single-swap
+    and the hardest texts are systematically under-represented in training
+    relative to their share of the measured failure mass.
+
+    Emits one text per (position, neighbor) pair, round-robin across
+    positions (so a phrase with one neighbor-rich word still covers every
+    position), neighbor order seeded. ``exclude`` removes exact strings —
+    callers pass the held-out pool so the emphasis class can never train on
+    the literally-measured texts.
+
+    No reference equivalent (its generator has no single-swap mode,
+    reference util/lang_util.py:40-167).
+    """
+    g = get_adversarial_text_generator()
+    rng = np.random.default_rng(seed)
+    words = phrase.lower().split()
+    excluded = {t.lower() for t in (exclude or [])} | {phrase.lower()}
+
+    per_pos: List[List[str]] = []
+    for w in words:
+        # adversarial_words is multiplicity-weighted (one entry per matching
+        # wildcard query); dedupe preserving rank, then shuffle seeded.
+        neigh = [n for n in dict.fromkeys(g.adversarial_words(w)) if n != w]
+        per_pos.append([neigh[j] for j in rng.permutation(len(neigh))])
+
+    texts: List[str] = []
+    idx = [0] * len(words)
+    while len(texts) < num_samples:
+        progress = False
+        for i in range(len(words)):
+            if len(texts) >= num_samples:
+                break
+            while idx[i] < len(per_pos[i]):
+                cand = list(words)
+                cand[i] = per_pos[i][idx[i]]
+                idx[i] += 1
+                text = " ".join(cand)
+                if text not in excluded:
+                    excluded.add(text)
+                    texts.append(text)
+                    progress = True
+                    break
+        if not progress:
+            break
+    return texts
+
+
 _GLOBAL_GENERATOR: Optional[AdversarialTextGenerator] = None
 _GLOBAL_GENERATOR_KWARGS: dict = {}
 

@@ -122,6 +122,24 @@ def parse_args() -> argparse.Namespace:
                         "adversarial pool. Targets onset false fires: the "
                         "'hey but' sliding residual and the stream-window "
                         "fp/hour tail. Held-out pools never include them.")
+    p.add_argument("--collision-negatives", type=int, default=0,
+                   help="N>0 adds N SINGLE-SWAP collision texts (exactly one "
+                        "word of the phrase replaced by a phonetic neighbor: "
+                        "'hate buddy', 'hey buddies') to the TRAINING "
+                        "adversarial pool. Targets the round-4 FAR_adv "
+                        "attribution class; exact held-out texts are "
+                        "excluded so the emphasis can't train on the "
+                        "measured set.")
+    p.add_argument("--mine-adversarial-clips", type=int, default=0,
+                   metavar="N",
+                   help="N>0 renders N fresh augmented ADVERSARIAL CLIPS per "
+                        "mining round (fresh text pool per round, disjoint "
+                        "seeds from every held-out cache) and harvests "
+                        "those scoring >= --mine-floor as negatives — the "
+                        "clip-metric mirror of stream-FP mining. Stream "
+                        "mining alone never touches the distribution "
+                        "FAR_adv is measured on (augmented full-view "
+                        "near-collisions).")
     p.add_argument("--hard-pair-boost", type=int, default=0,
                    help="N>0 adds the wake phrase's closest single-word "
                         "phonetic neighbors (auto-derived from the lexicon) "
@@ -629,6 +647,7 @@ def main() -> None:
         args.select_stream_minutes = min(args.select_stream_minutes, 1.0)
         args.select_adversarial_samples = min(args.select_adversarial_samples, 12)
         args.calibration_seeds = min(args.calibration_seeds, 1)
+        args.mine_adversarial_clips = min(args.mine_adversarial_clips, 12)
 
     # Rendered streams are embedding-agnostic waveforms: cache them in the
     # shared cache so multi-hour fp/hour costs synthesis once per seed ever.
@@ -668,6 +687,26 @@ def main() -> None:
             f"(deepest: {prefix_texts[:4]})"
         )
         hard_texts = hard_texts + prefix_texts
+    collision_texts: list = []
+    if args.collision_negatives > 0:
+        from heybuddy_tpu.text.adversarial import single_swap_collision_texts
+
+        # The held-out pool's exact texts (sidecar, or derived pre-cache):
+        # the emphasis class transfers, the literal measured strings must
+        # not be trained on.
+        heldout_pool = TrainingFeaturesGenerator(
+            args.phrase, **gen_kwargs
+        ).adversarial_texts(testing=True, adversarial_phrases=60)
+        collision_texts = single_swap_collision_texts(
+            args.phrase, num_samples=args.collision_negatives,
+            seed=args.seed, exclude=heldout_pool,
+        )
+        logger.info(
+            f"single-swap collision negatives: {len(collision_texts)} texts "
+            f"(held-out pool excluded: {len(heldout_pool)} texts), "
+            f"e.g. {collision_texts[:6]}"
+        )
+        hard_texts = hard_texts + collision_texts
     train_gen_kwargs = dict(gen_kwargs)
     if hard_texts:
         train_gen_kwargs["custom_adversarial_texts"] = hard_texts
@@ -911,8 +950,42 @@ def main() -> None:
                     new_mined += len(hard)
                     if len(hard):
                         cand_mined.append(hard)
+                clip_mined = 0
+                if args.mine_adversarial_clips > 0:
+                    # Clip-metric mining: stream mining harvests sliding
+                    # WINDOWS, a different distribution than the augmented
+                    # full-view clips FAR_adv is measured on — v23 drove
+                    # stream fp/hr under target while clip FAR doubled.
+                    # Render a fresh adversarial clip pool (new texts every
+                    # round via the round seed; single-swap emphasis texts
+                    # included) and harvest high scorers.
+                    mine_gen = TrainingFeaturesGenerator(
+                        args.phrase,
+                        directory=os.path.join(
+                            dataset_dir, f"mine-adv-{cand}-{r}"
+                        ),
+                        tts_backend="formant",
+                        seed=args.seed + 900_000 + 100_000 * cand + 1_000 * r,
+                        custom_adversarial_texts=(collision_texts or None),
+                    )
+                    mine_iter = mine_gen.get_training_features(
+                        args.mine_adversarial_clips, adversarial=True,
+                        adversarial_phrases=60 + len(collision_texts),
+                    )
+                    mine_feats = np.asarray(
+                        mine_iter.precalculated[:], dtype=np.float32
+                    )
+                    mine_scores = np.asarray(
+                        cand_model(mine_feats)
+                    ).reshape(-1)
+                    hard = mine_feats[mine_scores >= args.mine_floor]
+                    clip_mined = len(hard)
+                    new_mined += clip_mined
+                    if clip_mined:
+                        cand_mined.append(hard)
                 logger.info(
-                    f"mining round {r + 1}: {new_mined} hard negatives harvested"
+                    f"mining round {r + 1}: {new_mined} hard negatives "
+                    f"harvested ({clip_mined} adversarial clips)"
                 )
                 if new_mined == 0:
                     break
@@ -1350,6 +1423,8 @@ def main() -> None:
         "adversarial_phrases": args.adversarial_phrases,
         "hard_pair_boost": args.hard_pair_boost,
         "prefix_negatives": args.prefix_negatives,
+        "collision_negatives": args.collision_negatives,
+        "mine_adversarial_clips": args.mine_adversarial_clips,
         "steps": args.steps,
         "layers": args.layers,
         "layer_dim": args.layer_dim,

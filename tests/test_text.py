@@ -209,3 +209,38 @@ def test_prefix_negative_texts():
     assert texts == prefix_negative_texts("hey buddy", num_samples=32, seed=0)
     # Degenerate phrases yield gracefully.
     assert prefix_negative_texts("a", num_samples=4, seed=0) == []
+
+
+def test_single_swap_collision_texts():
+    """Round-5 FAR channel: every emitted text differs from the phrase in
+    EXACTLY one word (the attribution-measured failure class), positions are
+    round-robined, excludes are honored, and pools are seed-deterministic."""
+    from heybuddy_tpu.text.adversarial import single_swap_collision_texts
+
+    words = "hey buddy".split()
+    texts = single_swap_collision_texts("hey buddy", num_samples=40, seed=0)
+    assert len(texts) == 40
+    assert len(set(texts)) == 40
+    swapped_positions = set()
+    for t in texts:
+        tw = t.split()
+        assert len(tw) == len(words)
+        diffs = [i for i, (a, b) in enumerate(zip(tw, words)) if a != b]
+        assert len(diffs) == 1, t
+        swapped_positions.add(diffs[0])
+    assert swapped_positions == {0, 1}  # both positions covered
+
+    # exclude removes exact strings (the held-out-pool contract)
+    banned = texts[:8]
+    rest = single_swap_collision_texts(
+        "hey buddy", num_samples=40, seed=0, exclude=banned
+    )
+    assert not (set(rest) & set(banned))
+
+    # deterministic per seed, varies across seeds
+    assert texts == single_swap_collision_texts("hey buddy", num_samples=40, seed=0)
+    assert texts != single_swap_collision_texts("hey buddy", num_samples=40, seed=1)
+
+    # neighbor-less degenerate word: no infinite loop, bounded output
+    few = single_swap_collision_texts("wednesday", num_samples=8, seed=0)
+    assert all(t != "wednesday" for t in few)
