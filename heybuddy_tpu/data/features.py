@@ -34,9 +34,10 @@ from heybuddy_tpu.utils.strings import safe_name
 __all__ = ["TrainingFeaturesGenerator"]
 
 # Disjoint seed-offset block per cache kind (train=0 / testing=1, partial=2/3,
-# clean-offset=4/5, negative-speech=6, validation=7 / testing-validation=8).
-# Must exceed any realistic generated cache size so `existing + written` can
-# never cross into another kind's block and reuse its TTS/augment seeds.
+# clean-offset=4/5, negative-speech=6, validation=7 / testing-validation=8,
+# reverb-positive=9/10). Must exceed any realistic generated cache size so
+# `existing + written` can never cross into another kind's block and reuse
+# its TTS/augment seeds.
 _SEED_NAMESPACE = 10_000_000
 
 
@@ -754,6 +755,83 @@ class TrainingFeaturesGenerator:
                 )
         else:
             logger.info(f"Using {num_samples} cached clean-offset features for '{name}'")
+        return PrecalculatedDatasetIterator(name, directory=self.directory, seed=self.seed)
+
+    def get_reverb_positive_features(
+        self,
+        num_samples: int,
+        testing: bool = False,
+    ) -> PrecalculatedDatasetIterator:
+        """
+        REVERB-ONLY positives: guaranteed reverb + mid-SNR background noise
+        ([0, 15] dB) with every other distortion disabled, at random
+        placement — exactly the distribution of the measured FRR-by-SNR
+        reverb buckets (scripts/quality_eval.py frr_by_snr_buckets).
+
+        The default augment chain already draws reverb at p=0.75, but a
+        reverb draw there stacks with pitch/EQ/distortion/deep-SNR draws, so
+        "reverberated but otherwise clear phrase" — the bucket sitting at
+        0.21-0.31 FRR in round 4 — is a coverage MODE the chain rarely
+        emits in isolation, the same gap shape clean-offset positives fixed
+        for quiet-room audio (measured there: sliding clean recall 0.67
+        before dedicated coverage).
+
+        No reference equivalent (its chain has no per-mode positive sets,
+        reference dataset/augmented.py:200-232).
+        """
+        name = self._cache_name(False, testing, False) + "-reverb"
+        os.makedirs(self.directory, exist_ok=True)
+        path = os.path.join(self.directory, f"{name}.npy")
+
+        from heybuddy_tpu.data.space import active_space, check_cache_space, write_space_sidecar
+
+        if os.path.exists(path) and (not self.use_cache or not check_cache_space(path, self.tts_backend)):
+            _remove_cache(path)
+        store = AppendableNpyFile(path)
+        write_space_sidecar(path, active_space(self.tts_backend))
+        existing = len(store)
+        if existing < num_samples:
+            missing = num_samples - existing
+            logger.info(f"Generating {missing} reverb-positive features for '{name}'")
+            config = self.augment_config._replace(
+                seven_band_prob=0.0,
+                tanh_distortion_prob=0.0,
+                pitch_shift_prob=0.0,
+                band_stop_prob=0.0,
+                colored_noise_prob=0.0,
+                gain_prob=0.0,
+                background_noise_prob=1.0,
+                background_noise_min_snr_db=0.0,
+                background_noise_max_snr_db=15.0,
+                reverb_prob=1.0,
+                placement="random",
+            )
+            generator_kwargs = dict(self.generator_kwargs)
+            generator_kwargs.pop("custom_adversarial_texts", None)
+            generator_kwargs.pop("num_adversarial_texts", None)
+            speech = SpeechSampleGenerator(
+                self.phrase,
+                adversarial=False,
+                batch_size=self.tts_batch_size,
+                seed=self.seed + existing + _SEED_NAMESPACE * (10 if testing else 9),
+                tts_backend=self.tts_backend,
+                **generator_kwargs,
+            )
+            featurize = (
+                self._featurize_plan_stream
+                if self._use_fused_pipeline()
+                else self._featurize_stream
+            )
+            featurize(
+                speech(missing, yield_plans=self._use_fused_pipeline()),
+                pad_only=False,
+                store=store,
+                limit=missing,
+                seed_offset=existing + _SEED_NAMESPACE * (10 if testing else 9),
+                config=config,
+            )
+        else:
+            logger.info(f"Using {num_samples} cached reverb-positive features for '{name}'")
         return PrecalculatedDatasetIterator(name, directory=self.directory, seed=self.seed)
 
     def get_stream_window_features(

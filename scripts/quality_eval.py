@@ -122,6 +122,12 @@ def parse_args() -> argparse.Namespace:
                         "adversarial pool. Targets onset false fires: the "
                         "'hey but' sliding residual and the stream-window "
                         "fp/hour tail. Held-out pools never include them.")
+    p.add_argument("--reverb-positives", type=int, default=0,
+                   help="N>0 adds N REVERB-MODE positives (guaranteed reverb "
+                        "+ mid-SNR noise, no other distortion — the exact "
+                        "distribution of the FRR-by-SNR reverb buckets) as "
+                        "dedicated positive coverage. Targets the 0.21-0.31 "
+                        "mid-SNR reverb FRR residual.")
     p.add_argument("--collision-negatives", type=int, default=0,
                    help="N>0 adds N SINGLE-SWAP collision texts (exactly one "
                         "word of the phrase replaced by a phonetic neighbor: "
@@ -648,6 +654,7 @@ def main() -> None:
         args.select_adversarial_samples = min(args.select_adversarial_samples, 12)
         args.calibration_seeds = min(args.calibration_seeds, 1)
         args.mine_adversarial_clips = min(args.mine_adversarial_clips, 12)
+        args.reverb_positives = min(args.reverb_positives, 12)
 
     # Rendered streams are embedding-agnostic waveforms: cache them in the
     # shared cache so multi-hour fp/hour costs synthesis once per seed ever.
@@ -788,6 +795,14 @@ def main() -> None:
             max(args.train_samples // 4, 1), adversarial=True,
             adversarial_phrases=train_adv_pool
         )
+        # Reverb-mode positives: the FRR-by-SNR reverb buckets' exact
+        # distribution as dedicated positive coverage (features.py
+        # get_reverb_positive_features docstring).
+        reverb_train = (
+            gen.get_reverb_positive_features(args.reverb_positives)
+            if args.reverb_positives > 0
+            else None
+        )
         # Validation sets for the dynamic negative-weight controller: DISJOINT
         # pad-only + clean-offset positives (testing caches, fresh seeds), and
         # stream windows from a seed disjoint from training's.
@@ -835,13 +850,16 @@ def main() -> None:
                 (PrecalculatedDatasetIterator("mined", data=mined_arr, seed=args.seed), bs)
             )
             logger.info(f"training with {len(mined_arr)} mined hard negatives")
+        positive_specs = [
+            (pos_train, 2 * bs),
+            (clean_train, max(bs // 2, 1)),
+            (clean_offset_train, max(bs // 2, 1)),
+        ]
+        if reverb_train is not None:
+            positive_specs.append((reverb_train, max(bs // 2, 1)))
         training = WakeWordTrainingDatasetIterator(
             num_batch_threads=1,
-            positive=[
-                (pos_train, 2 * bs),
-                (clean_train, max(bs // 2, 1)),
-                (clean_offset_train, max(bs // 2, 1)),
-            ],
+            positive=positive_specs,
             negative=negative_specs,
         )
         # Validation = pad-only positives + FRESH stream windows, driving the
@@ -1425,6 +1443,7 @@ def main() -> None:
         "prefix_negatives": args.prefix_negatives,
         "collision_negatives": args.collision_negatives,
         "mine_adversarial_clips": args.mine_adversarial_clips,
+        "reverb_positives": args.reverb_positives,
         "steps": args.steps,
         "layers": args.layers,
         "layer_dim": args.layer_dim,

@@ -198,3 +198,33 @@ def test_stale_cache_removal_drops_texts_sidecar(tmp_path, monkeypatch):
         num_adversarial_texts=6,
     ).get_adversarial_texts()
     assert sorted(texts) == sorted(expected)
+
+
+def test_reverb_positive_features_use_block_9(tmp_path, monkeypatch):
+    """The new reverb-positive cache kind must live in its own seed block
+    (9/10) and pin the reverb+mid-SNR augment mode."""
+    monkeypatch.setenv("HEYBUDDY_DATASET_DIR", str(tmp_path))
+    gen = TrainingFeaturesGenerator(phrase="reverb probe", directory=str(tmp_path))
+    seen = {}
+
+    def fake_featurize(self, samples, pad_only=False, store=None, limit=0,
+                       seed_offset=0, config=None):
+        seen["offset"] = seed_offset
+        seen["config"] = config
+        store.append(np.zeros((limit, 16, 96), np.float32))
+        return limit
+
+    monkeypatch.setattr(
+        TrainingFeaturesGenerator, "_featurize_stream", fake_featurize
+    )
+    monkeypatch.setattr(
+        TrainingFeaturesGenerator, "_featurize_plan_stream", fake_featurize
+    )
+    it = gen.get_reverb_positive_features(4)
+    assert len(it.precalculated) == 4
+    assert seen["offset"] // _SEED_NAMESPACE == 9
+    cfg = seen["config"]
+    assert cfg.reverb_prob == 1.0
+    assert cfg.background_noise_prob == 1.0
+    assert cfg.background_noise_min_snr_db == 0.0
+    assert cfg.pitch_shift_prob == 0.0 and cfg.seven_band_prob == 0.0
