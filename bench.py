@@ -49,10 +49,20 @@ def main() -> None:
     # axon tunnel measures ~3.3 ms per jitted call (a trivial x*2+1 jit costs
     # the same 3.3 ms; PERF.md "dispatch tax"). Measured scaling on v5e:
     # 2048 -> 314k, 8192 -> 414k, 16384 -> 468k, 32768 -> 511k clips/s.
-    # Production feature generation streams >=100k clips per run, so a 16k
-    # device batch is the realistic steady-state unit (data/features.py
-    # autoconfigure picks the same tier on 16 GB HBM).
-    batch = 16384
+    # The 32768 tier needs the full 16 GB HBM (audio alone stages 3 GB), so
+    # it is gated on the device's reported bytes_limit, mirroring
+    # data/features.py autoconfigure; anything smaller stays at 16384, and
+    # CPU (driver compile checks) drops to 2048 to keep the run short.
+    device = jax.devices()[0]
+    if device.platform == "cpu":
+        batch = 2048
+    else:
+        try:
+            stats = device.memory_stats() or {}
+            hbm_gib = stats.get("bytes_limit", 0) / (1024 ** 3)
+        except Exception:
+            hbm_gib = 0.0
+        batch = 32768 if hbm_gib >= 15.0 else 16384
     iters = 5
 
     params = embedding_net.default_params()

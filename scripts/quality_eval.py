@@ -1288,6 +1288,56 @@ def main() -> None:
         )
     sliding_recall_c2 = sliding_c2[args.phrase]
 
+    # --- threshold tradeoff curve ----------------------------------------
+    # Every headline metric at a grid of thresholds, from the score arrays
+    # already in memory (zero extra rendering/scoring). Motivation: v23's
+    # adversarial failures are NOT saturated (p90 0.79 while clean positives
+    # sit at 0.9999), so the deployed calibrated threshold — a product
+    # mechanism, reference wakeword.py ships per-head thresholds — may trade
+    # FAR/fp-hr against a recall margin the fixed 0.5 report hides. The
+    # curve shows at a glance whether ANY operating point passes all five
+    # targets simultaneously.
+    threshold_curve = []
+    for t in (0.5, 0.6, 0.7, 0.8, 0.9, 0.95, 0.98, 0.99):
+        t_recall_counts = [
+            int(count_detections(s, t, consecutive=2) > 0)
+            for s in sliding_runs[args.phrase]
+        ]
+        t_fp_counts = [
+            int(count_detections(s, t, consecutive=2)) for s in score_runs
+        ]
+        threshold_curve.append({
+            "threshold": t,
+            "far_adversarial": round(float(np.mean(adv_scores >= t)), 4),
+            "far_speech": round(float(np.mean(speech_scores >= t)), 4),
+            "frr_clean": round(float(np.mean(clean_scores < t)), 4),
+            "frr_clean_offset": round(
+                float(np.mean(clean_offset_scores < t)), 4),
+            "sliding_recall_c2": round(
+                float(np.mean(t_recall_counts)), 4),
+            "fp_per_hour_c2": round(sum(t_fp_counts) / max(hours, 1e-9), 3),
+        })
+    curve_pass = [
+        c for c in threshold_curve
+        if c["sliding_recall_c2"] >= 0.95 and c["far_adversarial"] <= 0.05
+        and c["frr_clean"] <= 0.05 and c["frr_clean_offset"] <= 0.05
+        and c["fp_per_hour_c2"] <= 1.5
+    ]
+    logger.info(
+        "threshold curve (thr: FAR_adv / fp_hr_c2 / recall_c2 / frr_clean): "
+        + "; ".join(
+            f"{c['threshold']}: {c['far_adversarial']:.3f}/"
+            f"{c['fp_per_hour_c2']:.2f}/{c['sliding_recall_c2']:.2f}/"
+            f"{c['frr_clean']:.3f}"
+            for c in threshold_curve
+        )
+    )
+    if curve_pass:
+        logger.info(
+            f"threshold(s) passing ALL 5 targets: "
+            f"{[c['threshold'] for c in curve_pass]}"
+        )
+
     # --- calibrated operating point -------------------------------------
     # The deployed product ships a calibrated per-head threshold (browser
     # runtime, reference models/wake-word.ts checkWakeWordCalled), not a
@@ -1471,6 +1521,8 @@ def main() -> None:
         "operating_frr_clean_offset": round(op_frr_clean_offset, 4),
         "fp_per_hour_consecutive2": round(float(fp_per_hour_c2), 3),
         "operating_warnings": op_warnings + op_warnings_c2,
+        "threshold_curve": threshold_curve,
+        "threshold_curve_all_targets": [c["threshold"] for c in curve_pass],
         "operating_threshold_consecutive2": op_thr_c2,
         "operating_frr_consecutive2": round(op_frr_c2, 4),
         "operating_frr_clean_consecutive2": round(op_frr_clean_c2, 4),
