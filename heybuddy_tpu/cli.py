@@ -630,6 +630,12 @@ def convert(checkpoint: str, output: Optional[str], opset_version: int, debug: b
                    "it joins every batch and its rendered pairs are driven "
                    "apart by the margin loss (per-deployment discriminative "
                    "fine-tune of the embedding space).")
+@click.option("--focus-swap-depth", type=int, default=0, show_default=True,
+              help="Extend the focus cluster with this many SINGLE-SWAP "
+                   "collision texts (exactly one phrase word replaced by a "
+                   "phonetic neighbor) — the maximal-overlap class the "
+                   "round-4 FAR attribution put the failure mass on. 0 "
+                   "keeps the bundled v7 embedding reproducible.")
 @click.option("--hard-pair-margin", type=float, default=0.4, show_default=True,
               help="Cosine-similarity ceiling for same-cluster rendered pairs.")
 @click.option("--hard-pair-weight", type=float, default=1.0, show_default=True,
@@ -647,6 +653,7 @@ def pretrain_embedding(
     tts_backend: Optional[str],
     adversarial_fraction: float,
     focus_phrase: Optional[str],
+    focus_swap_depth: int,
     hard_pair_margin: float,
     hard_pair_weight: float,
     seed: int,
@@ -671,6 +678,7 @@ def pretrain_embedding(
             tts_backend=tts_backend,
             adversarial_fraction=adversarial_fraction,
             focus_phrase=focus_phrase,
+            focus_swap_depth=focus_swap_depth,
             hard_pair_margin=hard_pair_margin,
             hard_pair_weight=hard_pair_weight,
             seed=seed,

@@ -92,6 +92,7 @@ class EmbeddingPretrainer:
         init_weights: Optional[str] = None,
         adversarial_fraction: float = 0.0,
         focus_phrase: Optional[str] = None,
+        focus_swap_depth: int = 0,
         hard_pair_margin: float = 0.4,
         hard_pair_weight: float = 1.0,
         cluster_slots_fraction: float = 0.25,
@@ -102,7 +103,8 @@ class EmbeddingPretrainer:
             self.cluster_ids = np.full(len(self.texts), -1, dtype=np.int64)
         else:
             self.texts, self.cluster_ids = self._default_texts(
-                num_texts, seed, adversarial_fraction, focus_phrase
+                num_texts, seed, adversarial_fraction, focus_phrase,
+                focus_swap_depth,
             )
         self.focus_phrase = focus_phrase
         self.hard_pair_margin = hard_pair_margin
@@ -152,6 +154,7 @@ class EmbeddingPretrainer:
         seed: int,
         adversarial_fraction: float = 0.0,
         focus_phrase: Optional[str] = None,
+        focus_swap_depth: int = 0,
     ) -> "tuple[List[str], np.ndarray]":
         """Random 1-3 word phrases from the bundled lexicon.
 
@@ -172,6 +175,15 @@ class EmbeddingPretrainer:
         embedding space around the phrase that matters (the TPU-native
         substitute for the reference's frozen Google embedding earning its
         keep on "hey bunny"-class separations, reference embeddings.py:29-30).
+
+        ``focus_swap_depth > 0`` extends cluster 0 with that many SINGLE-SWAP
+        collision texts (exactly one word of the phrase replaced by a
+        phonetic neighbor, text/adversarial.py single_swap_collision_texts).
+        The generic generator swaps words independently, so the
+        maximal-overlap class the round-4 FAR attribution named ("hate
+        buddy", "hey buddies", "hey duty") is under-represented in the
+        default focus pool; this puts it in every batch under the margin
+        loss. Default 0 keeps the bundled v7 embedding byte-reproducible.
         """
         from heybuddy_tpu.text.wordlist import WORDS
 
@@ -213,6 +225,16 @@ class EmbeddingPretrainer:
             for neighbor in adv(focus_phrase, num_samples=focus_size - 1,
                                 seed=seed + 997):
                 add(neighbor, cluster=0)
+            if focus_swap_depth > 0:
+                from heybuddy_tpu.text.adversarial import (
+                    single_swap_collision_texts,
+                )
+
+                for t in single_swap_collision_texts(
+                    focus_phrase, num_samples=focus_swap_depth,
+                    seed=seed + 991,
+                ):
+                    add(t, cluster=0)
             next_cluster = 1
 
         for _ in range(num_texts - n_clusters * cluster_size - len(texts)):

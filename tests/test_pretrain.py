@@ -79,6 +79,34 @@ def test_default_texts_focus_phrase_cluster():
     assert len(set(focus)) == len(focus)
 
 
+def test_default_texts_focus_swap_depth():
+    """focus_swap_depth extends cluster 0 with single-swap collision texts
+    and leaves the default (depth 0) pool byte-identical (the bundled v7
+    embedding's reproduce command must keep producing v7)."""
+    from heybuddy_tpu.text.adversarial import single_swap_collision_texts
+    from heybuddy_tpu.training.embedding_pretrain import EmbeddingPretrainer
+
+    base, base_ids = EmbeddingPretrainer._default_texts(
+        64, 0, adversarial_fraction=0.25, focus_phrase="hey buddy"
+    )
+    deep, deep_ids = EmbeddingPretrainer._default_texts(
+        64, 0, adversarial_fraction=0.25, focus_phrase="hey buddy",
+        focus_swap_depth=8,
+    )
+    base_focus = {base[i] for i in np.flatnonzero(base_ids == 0)}
+    deep_focus = {deep[i] for i in np.flatnonzero(deep_ids == 0)}
+    added = deep_focus - base_focus
+    assert added, "swap depth must grow the focus cluster"
+    swaps = set(single_swap_collision_texts("hey buddy", num_samples=8, seed=991))
+    # every added text is a single-swap collision drawn by the same seeded call
+    assert added <= swaps, added - swaps
+    # depth 0 reproduces the original pool exactly
+    again, again_ids = EmbeddingPretrainer._default_texts(
+        64, 0, adversarial_fraction=0.25, focus_phrase="hey buddy"
+    )
+    assert again == base and np.array_equal(again_ids, base_ids)
+
+
 def test_hard_pair_margin_loss_properties():
     from heybuddy_tpu.training.embedding_pretrain import hard_pair_margin_loss
 
