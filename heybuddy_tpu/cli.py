@@ -325,6 +325,13 @@ def combine(
                    "...' for 'hey buddy') and add them to the adversarial text pool. "
                    "A causal sliding window hears the onset before the completion; "
                    "these teach it not to fire on the prefix alone.")
+@click.option("--collision-swap-phrases", type=int, default=0, show_default=True,
+              help="Auto-derive this many SINGLE-SWAP collision texts (exactly one "
+                   "word of the wake phrase replaced by a phonetic neighbor: 'hate "
+                   "buddy', 'hey buddies') and add them to the adversarial text "
+                   "pool. The generic generator swaps words independently, so this "
+                   "maximal-overlap class — where measured false-accept mass "
+                   "concentrates — is otherwise under-represented.")
 @click.option("--positive-batch-size", type=int, default=DEFAULT_POSITIVE_BATCH_SIZE)
 @click.option("--negative-batch-size", type=int, default=DEFAULT_NEGATIVE_BATCH_SIZE)
 @click.option("--synthetic-negative-samples", type=int, default=0, show_default=True,
@@ -347,6 +354,11 @@ def combine(
               help="Add this many UNAUGMENTED positives (centered and at random "
                    "window offsets) — quiet-room recall coverage the augment "
                    "chain cannot provide.")
+@click.option("--reverb-positive-samples", type=int, default=0, show_default=True,
+              help="Add this many REVERB-ONLY positives (guaranteed reverb + "
+                   "mid-SNR noise, no other distortion) — dedicated coverage for "
+                   "the reverberated-but-otherwise-clear mode the stacked augment "
+                   "chain rarely emits in isolation.")
 @click.option("--adversarial-batch-size", type=int, default=DEFAULT_ADVERSARIAL_BATCH_SIZE)
 @click.option("--num-batch-threads", type=int, default=DEFAULT_BATCH_THREADS)
 @click.option("--validation-positive-batch-size", type=int, default=DEFAULT_VALIDATION_POSITIVE_BATCH_SIZE)
@@ -411,6 +423,18 @@ def train(phrase: str, **kwargs: Any) -> None:
                 f"(e.g. {prefix_texts[:3]})"
             )
             custom_texts.extend(prefix_texts)
+        num_collision_swaps = kwargs.pop("collision_swap_phrases")
+        if num_collision_swaps:
+            from heybuddy_tpu.text.adversarial import single_swap_collision_texts
+
+            swap_texts = single_swap_collision_texts(
+                phrase, num_samples=num_collision_swaps
+            )
+            logger.info(
+                f"Single-swap collision pool: {len(swap_texts)} texts "
+                f"(e.g. {swap_texts[:3]})"
+            )
+            custom_texts.extend(swap_texts)
 
         feature_kwargs = dict(
             augment_config=augment_config,
@@ -440,6 +464,7 @@ def train(phrase: str, **kwargs: Any) -> None:
             stream_negative_samples=kwargs.pop("stream_negative_samples"),
             collision_negative_samples=kwargs.pop("collision_negative_samples"),
             clean_positive_samples=kwargs.pop("clean_positive_samples"),
+            reverb_positive_samples=kwargs.pop("reverb_positive_samples"),
             num_batch_threads=kwargs.pop("num_batch_threads"),
             large_negative_dataset=training_default_size in ("large", "full"),
             synthetic_negative_samples=kwargs.pop("synthetic_negative_samples"),

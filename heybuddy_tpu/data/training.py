@@ -327,6 +327,7 @@ class WakeWordTrainingDatasetIterator(TrainingDatasetIterator):
         stream_negative_samples: int = 0,
         collision_negative_samples: int = 0,
         clean_positive_samples: int = 0,
+        reverb_positive_samples: int = 0,
         num_batch_threads: int = DEFAULT_BATCH_THREADS,
         large_negative_dataset: bool = False,
         synthetic_negative_samples: int = 0,
@@ -375,6 +376,13 @@ class WakeWordTrainingDatasetIterator(TrainingDatasetIterator):
                 adversarial_phrases=adversarial_phrases,
             )
             negative_specs.append((clean_offset_adv, clean_bs))
+        if reverb_positive_samples > 0 and not testing:
+            # Reverb-only positives: "reverberated but otherwise clear
+            # phrase" is a coverage MODE the stacked augment chain rarely
+            # emits in isolation — the 0.21-0.31 mid-SNR reverb FRR residual
+            # (features.get_reverb_positive_features docstring).
+            reverb = generator.get_reverb_positive_features(reverb_positive_samples)
+            positive_specs.append((reverb, max(positive_batch_size // 2, 1)))
         if partial_samples > 0:
             # Sliding-offset partial views of the wake phrase AND of its
             # phonetic adversaries, labeled negative

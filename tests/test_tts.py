@@ -292,6 +292,37 @@ def test_partial_phrase_features_and_iterator_wiring(tmp_path, monkeypatch):
     assert int(y.sum()) == 3  # partial views labeled negative
 
 
+def test_default_iterator_reverb_positive_channel(tmp_path):
+    """reverb_positive_samples adds a POSITIVE spec backed by the dedicated
+    reverb-mode cache (the heybuddy train --reverb-positive-samples channel)."""
+    from heybuddy_tpu.data.training import WakeWordTrainingDatasetIterator
+
+    iterator = WakeWordTrainingDatasetIterator.default(
+        "hey buddy",
+        positive_samples=4,
+        adversarial_samples=4,
+        adversarial_phrases=4,
+        positive_batch_size=2,
+        adversarial_batch_size=2,
+        negative_batch_size=0,
+        reverb_positive_samples=4,
+        num_batch_threads=1,
+        directory=str(tmp_path),
+        embed_batch_size=16,
+        augment_batch_size=8,
+        tts_batch_size=4,
+        tts_backend="formant",
+        num_adversarial_texts=4,
+    )
+    assert os.path.exists(tmp_path / "hey-buddy-reverb.npy")
+    assert len(iterator.positive) == 2  # base positives + reverb mode
+    x, y = next(iter(iterator))
+    iterator.stop()
+    # 2 pos + 1 reverb (batch positive_batch_size//2) + 2 adv rows
+    assert x.shape[0] == y.shape[0] == 5
+    assert int(y.sum()) == 3
+
+
 def test_formant_tts_threaded_batch_matches_serial(monkeypatch):
     """HEYBUDDY_TTS_THREADS must not change outputs: per-clip explicit seeds
     make the threaded fan-out bit-identical to the serial path."""
