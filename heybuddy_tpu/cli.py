@@ -332,6 +332,11 @@ def combine(
                    "pool. The generic generator swaps words independently, so this "
                    "maximal-overlap class — where measured false-accept mass "
                    "concentrates — is otherwise under-represented.")
+@click.option("--collision-swap-depth", type=int, default=1, show_default=True,
+              help="Maximum words swapped per collision text. 2 interleaves DOUBLE "
+                   "swaps ('hate buddies', 'hate bully') with the singles — the "
+                   "class measured false-accept mass moves to once single swaps "
+                   "are trained.")
 @click.option("--positive-batch-size", type=int, default=DEFAULT_POSITIVE_BATCH_SIZE)
 @click.option("--negative-batch-size", type=int, default=DEFAULT_NEGATIVE_BATCH_SIZE)
 @click.option("--synthetic-negative-samples", type=int, default=0, show_default=True,
@@ -424,15 +429,17 @@ def train(phrase: str, **kwargs: Any) -> None:
             )
             custom_texts.extend(prefix_texts)
         num_collision_swaps = kwargs.pop("collision_swap_phrases")
+        collision_swap_depth = kwargs.pop("collision_swap_depth")
         if num_collision_swaps:
             from heybuddy_tpu.text.adversarial import single_swap_collision_texts
 
             swap_texts = single_swap_collision_texts(
-                phrase, num_samples=num_collision_swaps
+                phrase, num_samples=num_collision_swaps,
+                max_swaps=collision_swap_depth,
             )
             logger.info(
-                f"Single-swap collision pool: {len(swap_texts)} texts "
-                f"(e.g. {swap_texts[:3]})"
+                f"Swap-collision pool (depth<={collision_swap_depth}): "
+                f"{len(swap_texts)} texts (e.g. {swap_texts[:3]})"
             )
             custom_texts.extend(swap_texts)
 
@@ -661,6 +668,12 @@ def convert(checkpoint: str, output: Optional[str], opset_version: int, debug: b
                    "phonetic neighbor) — the maximal-overlap class the "
                    "round-4 FAR attribution put the failure mass on. 0 "
                    "keeps the bundled v7 embedding reproducible.")
+@click.option("--focus-swap-max-swaps", type=int, default=1, show_default=True,
+              help="Maximum words swapped per focus-cluster collision text. "
+                   "2 interleaves DOUBLE swaps ('hate buddies', 'hate bully') "
+                   "with the singles — where the v25 attribution moved the "
+                   "residual false-accept mass once single swaps were "
+                   "head-trained.")
 @click.option("--hard-pair-margin", type=float, default=0.4, show_default=True,
               help="Cosine-similarity ceiling for same-cluster rendered pairs.")
 @click.option("--hard-pair-weight", type=float, default=1.0, show_default=True,
@@ -679,6 +692,7 @@ def pretrain_embedding(
     adversarial_fraction: float,
     focus_phrase: Optional[str],
     focus_swap_depth: int,
+    focus_swap_max_swaps: int,
     hard_pair_margin: float,
     hard_pair_weight: float,
     seed: int,
@@ -704,6 +718,7 @@ def pretrain_embedding(
             adversarial_fraction=adversarial_fraction,
             focus_phrase=focus_phrase,
             focus_swap_depth=focus_swap_depth,
+            focus_swap_max_swaps=focus_swap_max_swaps,
             hard_pair_margin=hard_pair_margin,
             hard_pair_weight=hard_pair_weight,
             seed=seed,

@@ -347,9 +347,10 @@ def single_swap_collision_texts(
     num_samples: int = 48,
     seed: int = 0,
     exclude: Optional[List[str]] = None,
+    max_swaps: int = 1,
 ) -> List[str]:
-    """Texts differing from ``phrase`` in EXACTLY ONE word, swapped with a
-    phonetic neighbor — the maximal-overlap collision class.
+    """Texts differing from ``phrase`` in a small number of words, each
+    swapped with a phonetic neighbor — the maximal-overlap collision class.
 
     Motivation (QUALITY.md round-4 tail): the v23 per-text FAR attribution
     put the held-out FAR_adv mass on texts keeping all-but-one word of the
@@ -360,15 +361,23 @@ def single_swap_collision_texts(
     and the hardest texts are systematically under-represented in training
     relative to their share of the measured failure mass.
 
-    Emits one text per (position, neighbor) pair, round-robin across
-    positions (so a phrase with one neighbor-rich word still covers every
-    position), neighbor order seeded. ``exclude`` removes exact strings —
-    callers pass the held-out pool so the emphasis class can never train on
-    the literally-measured texts.
+    ``max_swaps=1`` (default) emits one text per (position, neighbor) pair,
+    round-robin across positions (so a phrase with one neighbor-rich word
+    still covers every position), neighbor order seeded — byte-identical to
+    the round-5 v25 channel. ``max_swaps>=2`` interleaves deeper depths
+    round-robin (depth 1, depth 2, depth 1, ...), where a depth-d text swaps
+    exactly d positions with seeded neighbor draws: the v25 attribution
+    showed the residual FAR mass moving to DOUBLE swaps once single swaps
+    were trained ("hate buddies" 0.583, "hate bully" 0.542 — QUALITY.md
+    round 5). ``exclude`` removes exact strings — callers pass the held-out
+    pool so the emphasis class can never train on the literally-measured
+    texts.
 
-    No reference equivalent (its generator has no single-swap mode,
+    No reference equivalent (its generator has no swap-depth mode,
     reference util/lang_util.py:40-167).
     """
+    from itertools import combinations
+
     g = get_adversarial_text_generator()
     rng = np.random.default_rng(seed)
     words = phrase.lower().split()
@@ -381,25 +390,59 @@ def single_swap_collision_texts(
         neigh = [n for n in dict.fromkeys(g.adversarial_words(w)) if n != w]
         per_pos.append([neigh[j] for j in rng.permutation(len(neigh))])
 
-    texts: List[str] = []
-    idx = [0] * len(words)
-    while len(texts) < num_samples:
-        progress = False
-        for i in range(len(words)):
-            if len(texts) >= num_samples:
-                break
-            while idx[i] < len(per_pos[i]):
+    def depth1_iter():
+        """Original round-robin-across-positions order (kept byte-stable)."""
+        idx = [0] * len(words)
+        while True:
+            progress = False
+            for i in range(len(words)):
+                while idx[i] < len(per_pos[i]):
+                    cand = list(words)
+                    cand[i] = per_pos[i][idx[i]]
+                    idx[i] += 1
+                    text = " ".join(cand)
+                    if text not in excluded:
+                        progress = True
+                        yield text
+                        break
+            if not progress:
+                return
+
+    def depth_iter(d: int):
+        """Depth-d texts: every d-position combo, seeded neighbor draws."""
+        combos = [c for c in combinations(range(len(words)), d)
+                  if all(per_pos[i] for i in c)]
+        if not combos:
+            return
+        drng = np.random.default_rng(seed + 104729 * d)
+        attempts = 0
+        max_attempts = 40 * max(num_samples, 1)
+        while attempts < max_attempts:
+            for combo in combos:
+                attempts += 1
                 cand = list(words)
-                cand[i] = per_pos[i][idx[i]]
-                idx[i] += 1
+                for i in combo:
+                    cand[i] = per_pos[i][int(drng.integers(0, len(per_pos[i])))]
                 text = " ".join(cand)
                 if text not in excluded:
-                    excluded.add(text)
-                    texts.append(text)
-                    progress = True
-                    break
-        if not progress:
-            break
+                    yield text
+
+    depths = [depth1_iter()] + [
+        depth_iter(d) for d in range(2, min(max_swaps, len(words)) + 1)
+    ]
+    texts: List[str] = []
+    while len(texts) < num_samples and depths:
+        alive = []
+        for it in depths:
+            if len(texts) >= num_samples:
+                break
+            text = next(it, None)
+            if text is None:
+                continue
+            excluded.add(text)
+            texts.append(text)
+            alive.append(it)
+        depths = alive
     return texts
 
 

@@ -93,6 +93,7 @@ class EmbeddingPretrainer:
         adversarial_fraction: float = 0.0,
         focus_phrase: Optional[str] = None,
         focus_swap_depth: int = 0,
+        focus_swap_max_swaps: int = 1,
         hard_pair_margin: float = 0.4,
         hard_pair_weight: float = 1.0,
         cluster_slots_fraction: float = 0.25,
@@ -104,7 +105,7 @@ class EmbeddingPretrainer:
         else:
             self.texts, self.cluster_ids = self._default_texts(
                 num_texts, seed, adversarial_fraction, focus_phrase,
-                focus_swap_depth,
+                focus_swap_depth, focus_swap_max_swaps,
             )
         self.focus_phrase = focus_phrase
         self.hard_pair_margin = hard_pair_margin
@@ -155,6 +156,7 @@ class EmbeddingPretrainer:
         adversarial_fraction: float = 0.0,
         focus_phrase: Optional[str] = None,
         focus_swap_depth: int = 0,
+        focus_swap_max_swaps: int = 1,
     ) -> "tuple[List[str], np.ndarray]":
         """Random 1-3 word phrases from the bundled lexicon.
 
@@ -184,6 +186,10 @@ class EmbeddingPretrainer:
         buddy", "hey buddies", "hey duty") is under-represented in the
         default focus pool; this puts it in every batch under the margin
         loss. Default 0 keeps the bundled v7 embedding byte-reproducible.
+        ``focus_swap_max_swaps=2`` interleaves DOUBLE swaps into that pool —
+        the class the v25 attribution moved the residual to once single
+        swaps were head-trained ("hate buddies" 0.583, "hate bully" 0.542,
+        QUALITY.md round 5).
         """
         from heybuddy_tpu.text.wordlist import WORDS
 
@@ -232,7 +238,7 @@ class EmbeddingPretrainer:
 
                 for t in single_swap_collision_texts(
                     focus_phrase, num_samples=focus_swap_depth,
-                    seed=seed + 991,
+                    seed=seed + 991, max_swaps=focus_swap_max_swaps,
                 ):
                     add(t, cluster=0)
             next_cluster = 1

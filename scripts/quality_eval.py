@@ -136,6 +136,13 @@ def parse_args() -> argparse.Namespace:
                         "attribution class; exact held-out texts are "
                         "excluded so the emphasis can't train on the "
                         "measured set.")
+    p.add_argument("--collision-swap-depth", type=int, default=1,
+                   help="Maximum words swapped per collision-negative text "
+                        "(passed to single_swap_collision_texts max_swaps). "
+                        "2 interleaves double swaps ('hate buddies', 'hate "
+                        "bully') with the singles — the class the v25 "
+                        "attribution moved the residual FAR mass to once "
+                        "single swaps were trained (QUALITY.md round 5).")
     p.add_argument("--mine-adversarial-clips", type=int, default=0,
                    metavar="N",
                    help="N>0 renders N fresh augmented ADVERSARIAL CLIPS per "
@@ -707,9 +714,11 @@ def main() -> None:
         collision_texts = single_swap_collision_texts(
             args.phrase, num_samples=args.collision_negatives,
             seed=args.seed, exclude=heldout_pool,
+            max_swaps=args.collision_swap_depth,
         )
         logger.info(
-            f"single-swap collision negatives: {len(collision_texts)} texts "
+            f"swap-collision negatives (depth<={args.collision_swap_depth}): "
+            f"{len(collision_texts)} texts "
             f"(held-out pool excluded: {len(heldout_pool)} texts), "
             f"e.g. {collision_texts[:6]}"
         )
@@ -1492,6 +1501,7 @@ def main() -> None:
         "hard_pair_boost": args.hard_pair_boost,
         "prefix_negatives": args.prefix_negatives,
         "collision_negatives": args.collision_negatives,
+        "collision_swap_depth": args.collision_swap_depth,
         "mine_adversarial_clips": args.mine_adversarial_clips,
         "reverb_positives": args.reverb_positives,
         "steps": args.steps,

@@ -244,3 +244,41 @@ def test_single_swap_collision_texts():
     # neighbor-less degenerate word: no infinite loop, bounded output
     few = single_swap_collision_texts("wednesday", num_samples=8, seed=0)
     assert all(t != "wednesday" for t in few)
+
+
+def test_collision_texts_max_swaps():
+    """Round-5 depth-2 extension: max_swaps=2 interleaves double swaps with
+    the singles, max_swaps=1 stays byte-identical to the v25 channel, and a
+    single-word phrase degrades gracefully (no depth-2 combos exist)."""
+    from heybuddy_tpu.text.adversarial import single_swap_collision_texts
+
+    words = "hey buddy".split()
+    singles = single_swap_collision_texts("hey buddy", num_samples=24, seed=0)
+    mixed = single_swap_collision_texts(
+        "hey buddy", num_samples=24, seed=0, max_swaps=2
+    )
+    assert len(mixed) == 24
+    assert len(set(mixed)) == 24
+
+    def n_diffs(t):
+        return sum(a != b for a, b in zip(t.split(), words))
+
+    depths = [n_diffs(t) for t in mixed]
+    assert set(depths) == {1, 2}
+    # round-robin interleave: half each for a 2-word phrase
+    assert depths.count(2) == 12
+    # the depth-1 subsequence is exactly the v25 single-swap order
+    assert [t for t in mixed if n_diffs(t) == 1] == singles[:12]
+    # deterministic, and the explicit default matches the two-arg call
+    assert singles == single_swap_collision_texts(
+        "hey buddy", num_samples=24, seed=0, max_swaps=1
+    )
+    # exclude is honored across depths
+    banned = mixed[:6]
+    rest = single_swap_collision_texts(
+        "hey buddy", num_samples=24, seed=0, exclude=banned, max_swaps=2
+    )
+    assert not (set(rest) & set(banned))
+    # 1-word phrase: max_swaps=2 cannot produce depth-2 texts, still works
+    one = single_swap_collision_texts("buddy", num_samples=6, seed=0, max_swaps=2)
+    assert all(len(t.split()) == 1 and t != "buddy" for t in one)
