@@ -15,10 +15,17 @@ reports:
 * the margin between them — the number the campaign bets on.
 
 Usage:
-    python scripts/embedding_separation_probe.py [cand.npz ...]
+    python scripts/embedding_separation_probe.py [--augment] [cand.npz ...]
 
 With no args, probes only the bundled embedding. ~2 min per candidate on the
-chip (one featurization dispatch per embedding).
+chip (one featurization dispatch per embedding). ``--augment`` additionally
+routes every rendered clip through the production augmentation chain
+(ops/augment.py defaults + synthetic noise/IRs) before featurizing — the
+distribution FAR_adv is actually measured on. A margin that holds on clean
+renders but collapses augmented means the confusion is acoustic (noise/
+reverb masking), not representational, and a better embedding cannot buy it
+back. Set JAX_PLATFORMS=cpu + jax.config (this script does) to run the
+augment jit off-chip while a campaign owns the tunnel.
 """
 
 from __future__ import annotations
@@ -58,6 +65,29 @@ def _pooled(weights: "str | None", audio: np.ndarray) -> np.ndarray:
     return pooled / (np.linalg.norm(pooled, axis=1, keepdims=True) + 1e-9)
 
 
+def _augment(audio: np.ndarray, seed: int = 5) -> np.ndarray:
+    """Push int16-range clips through the production augment chain."""
+    import jax
+
+    from heybuddy_tpu.data.augmented import NoiseProvider
+    from heybuddy_tpu.ops.augment import AugmentConfig, augment_batch
+
+    cfg = AugmentConfig()
+    noise = NoiseProvider(seed=seed)
+    b, t = audio.shape
+    lengths = np.full((b,), t, np.int32)
+    key = jax.random.PRNGKey(seed)
+    out = augment_batch(
+        key,
+        audio.astype(np.float32) / 32768.0,
+        lengths,
+        noise.noise_batch(b, t),
+        noise.impulse_batch(b),
+        cfg,
+    )
+    return np.asarray(out, np.float32) * 32768.0
+
+
 def main() -> None:
     from heybuddy_tpu.text.adversarial import single_swap_collision_texts
 
@@ -68,11 +98,24 @@ def main() -> None:
     swaps = single_swap_collision_texts(
         phrase, num_samples=24, seed=31337, max_swaps=2
     )
+    args = list(sys.argv[1:])
+    augment = "--augment" in args
+    if augment:
+        args.remove("--augment")
+        import jax
+
+        # Run the augment/featurize jits off-chip so a live campaign keeps
+        # the tunnel (first remote compile is 40-500 s anyway).
+        jax.config.update("jax_platforms", "cpu")
+
     per_text = 4
     pos_audio = _render_pool([phrase], per_text * 12, seed=7)
     swap_audio = _render_pool(swaps, per_text, seed=11)
+    if augment:
+        pos_audio = _augment(pos_audio, seed=5)
+        swap_audio = _augment(swap_audio, seed=6)
 
-    candidates = [None] + list(sys.argv[1:])
+    candidates = [None] + args
     for cand in candidates:
         pos = _pooled(cand, pos_audio)
         neg = _pooled(cand, swap_audio)

@@ -568,6 +568,73 @@ def frr_by_snr_buckets(model, phrase: str, seed: int, thr: float,
     return out
 
 
+def far_by_snr_buckets(model, phrase: str, seed: int, thr: float,
+                       n_clips: int = 48) -> dict:
+    """FAR on SWAP-COLLISION texts augmented at PINNED SNR buckets — the
+    acoustic-confusion diagnostic for the round-5 residual.
+
+    v25/v26 evidence (QUALITY.md round 5): the residual FAR_adv is
+    saturated, diffuse, and immune to both head-level emphasis and an
+    embedding with a 53% larger clean-render margin; the augmented
+    separation probe shows the nearest augmented swap render sits CLOSER to
+    the phrase cluster than phrase renders sit to each other. This measures
+    where the false accepts live on the SNR/reverb axes: a clean top bucket
+    with the mass in the masked tail means the misses are
+    acoustically-confusable renders (a product envelope question), while a
+    flat profile means boundary placement (a trainable gap). Texts are the
+    seed-31337 unseen swap family (disjoint from every training pool), depth
+    <= 2 — the class the v25 attribution named."""
+    import jax
+
+    from heybuddy_tpu.constants import CLIP_SAMPLES
+    from heybuddy_tpu.data.augmented import NoiseProvider
+    from heybuddy_tpu.models.featurizer import get_speech_embeddings
+    from heybuddy_tpu.ops.augment import AugmentConfig, augment_batch
+    from heybuddy_tpu.text.adversarial import single_swap_collision_texts
+
+    swaps = single_swap_collision_texts(
+        phrase, num_samples=12, seed=31337, max_swaps=2
+    )
+    per_text = max(n_clips // max(len(swaps), 1), 1)
+    clips = []
+    for j, text in enumerate(swaps):
+        clips.extend(_pipeline_clips(text, per_text, seed=seed + 903 + 13 * j))
+    audio = np.zeros((len(clips), CLIP_SAMPLES), dtype=np.float32)
+    lengths = np.zeros((len(clips),), dtype=np.int32)
+    for i, c in enumerate(clips):
+        n = min(len(c), CLIP_SAMPLES)
+        audio[i, :n] = c[:n]
+        lengths[i] = n
+
+    provider = NoiseProvider(seed=seed, use_remote=True)
+    noise = provider.noise_batch(len(clips))
+    impulse = provider.impulse_batch(len(clips))
+    emb = get_speech_embeddings()
+
+    out = {}
+    buckets = [(-10, -5), (-5, 0), (0, 5), (5, 10), (10, 20)]
+    for reverb in (0.0, 1.0):
+        for lo, hi in buckets:
+            cfg = AugmentConfig(
+                background_noise_prob=1.0,
+                background_noise_min_snr_db=float(lo),
+                background_noise_max_snr_db=float(hi),
+                reverb_prob=reverb,
+                # isolate the SNR/reverb axes: no EQ/distortion/pitch draws
+                seven_band_prob=0.0, tanh_distortion_prob=0.0,
+                pitch_shift_prob=0.0, band_stop_prob=0.0,
+                colored_noise_prob=0.0, gain_prob=0.0,
+            )
+            key = jax.random.PRNGKey(seed + 7 * lo + int(reverb) + 31)
+            aug = np.asarray(
+                augment_batch(key, audio, lengths, noise, impulse, cfg)
+            )
+            scores = np.asarray(model(np.asarray(emb(aug), np.float32))).reshape(-1)
+            tag = f"snr[{lo},{hi})dB" + ("+reverb" if reverb else "")
+            out[tag] = round(float(np.mean(scores >= thr)), 3)
+    return out
+
+
 def far_attribution(model, texts: list, seed: int, thr: float,
                     per_text: int = 24) -> dict:
     """Per-text FAR over fresh augmented renderings of each adversarial text.
@@ -1485,11 +1552,16 @@ def main() -> None:
     # FRR by SNR/reverb bucket: locates the augmented-positive miss tail
     # (inaudible clips vs fixable mid-SNR misses, VERDICT r2 weak #8).
     frr_by_snr = {}
+    far_by_snr = {}
     if not args.no_snr_buckets:
         logger.info("=== FRR by SNR / reverb bucket ===")
         frr_by_snr = frr_by_snr_buckets(model, args.phrase, args.seed, thr)
         for k, v in frr_by_snr.items():
             logger.info(f"  {k}: FRR {v}")
+        logger.info("=== FAR (unseen swap family) by SNR / reverb bucket ===")
+        far_by_snr = far_by_snr_buckets(model, args.phrase, args.seed, thr)
+        for k, v in far_by_snr.items():
+            logger.info(f"  {k}: FAR {v}")
 
     results = {
         "phrase": args.phrase,
@@ -1550,6 +1622,7 @@ def main() -> None:
         "calibrated": calibrated,
         "far_attribution": far_attrib,
         "frr_by_snr": frr_by_snr,
+        "far_by_snr": far_by_snr,
         "checkpoint": final,
         "wall_s": round(time.time() - t0, 1),
     }
