@@ -834,6 +834,91 @@ class TrainingFeaturesGenerator:
             logger.info(f"Using {num_samples} cached reverb-positive features for '{name}'")
         return PrecalculatedDatasetIterator(name, directory=self.directory, seed=self.seed)
 
+    def get_reverb_collision_features(
+        self,
+        num_samples: int,
+        texts: List[str],
+        testing: bool = False,
+    ) -> PrecalculatedDatasetIterator:
+        """
+        REVERB-ONLY collision NEGATIVES: the given swap-collision texts
+        rendered with guaranteed reverb + mid-SNR background noise ([0, 15]
+        dB) and every other distortion disabled — the mirror of
+        :meth:`get_reverb_positive_features` for the negative class.
+
+        Motivation (QUALITY.md round 5 cont., the shipped-v26 FAR-by-SNR
+        table): the shipped model rejects the unseen swap family PERFECTLY
+        at every positive SNR without reverb (FAR 0.000) but fires at
+        0.10-0.23 under reverb at ALL SNRs — room smearing of the
+        discriminating consonants is the entire remaining FAR_adv residual.
+        The default chain renders collision negatives with reverb only at
+        p=0.75 stacked under deep-SNR/pitch/EQ draws, so
+        "reverberated-but-otherwise-clear collision" is exactly the coverage
+        mode it rarely emits — the same gap shape reverb positives fixed for
+        the FRR reverb buckets.
+
+        ``texts`` is the emphasis pool (callers exclude held-out strings,
+        quality_eval collision-negatives contract). Cache lives in its own
+        seed-namespace blocks (11/12) and is keyed adversarial+"-reverb".
+
+        No reference equivalent (its chain has no per-mode negative sets,
+        reference dataset/augmented.py:200-232).
+        """
+        name = self._cache_name(True, testing, False) + "-reverb"
+        os.makedirs(self.directory, exist_ok=True)
+        path = os.path.join(self.directory, f"{name}.npy")
+
+        from heybuddy_tpu.data.space import active_space, check_cache_space, write_space_sidecar
+
+        if os.path.exists(path) and (not self.use_cache or not check_cache_space(path, self.tts_backend)):
+            _remove_cache(path)
+        store = AppendableNpyFile(path)
+        write_space_sidecar(path, active_space(self.tts_backend))
+        existing = len(store)
+        if existing < num_samples:
+            missing = num_samples - existing
+            logger.info(f"Generating {missing} reverb-collision features for '{name}'")
+            config = self.augment_config._replace(
+                seven_band_prob=0.0,
+                tanh_distortion_prob=0.0,
+                pitch_shift_prob=0.0,
+                band_stop_prob=0.0,
+                colored_noise_prob=0.0,
+                gain_prob=0.0,
+                background_noise_prob=1.0,
+                background_noise_min_snr_db=0.0,
+                background_noise_max_snr_db=15.0,
+                reverb_prob=1.0,
+                placement="random",
+            )
+            generator_kwargs = dict(self.generator_kwargs)
+            generator_kwargs["custom_adversarial_texts"] = list(texts)
+            generator_kwargs["num_adversarial_texts"] = 0
+            speech = SpeechSampleGenerator(
+                self.phrase,
+                adversarial=True,
+                batch_size=self.tts_batch_size,
+                seed=self.seed + existing + _SEED_NAMESPACE * (12 if testing else 11),
+                tts_backend=self.tts_backend,
+                **generator_kwargs,
+            )
+            featurize = (
+                self._featurize_plan_stream
+                if self._use_fused_pipeline()
+                else self._featurize_stream
+            )
+            featurize(
+                speech(missing, yield_plans=self._use_fused_pipeline()),
+                pad_only=False,
+                store=store,
+                limit=missing,
+                seed_offset=existing + _SEED_NAMESPACE * (12 if testing else 11),
+                config=config,
+            )
+        else:
+            logger.info(f"Using {num_samples} cached reverb-collision features for '{name}'")
+        return PrecalculatedDatasetIterator(name, directory=self.directory, seed=self.seed)
+
     def get_stream_window_features(
         self,
         num_samples: int,

@@ -143,6 +143,17 @@ def parse_args() -> argparse.Namespace:
                         "bully') with the singles — the class the v25 "
                         "attribution moved the residual FAR mass to once "
                         "single swaps were trained (QUALITY.md round 5).")
+    p.add_argument("--reverb-collisions", type=int, default=0,
+                   help="N>0 renders N REVERB-ONLY collision negatives "
+                        "(guaranteed reverb + mid-SNR noise, no other "
+                        "distortion) of the swap-collision emphasis texts — "
+                        "the mirror of --reverb-positives for the negative "
+                        "class. Motivated by the shipped-v26 FAR-by-SNR "
+                        "table: no-reverb FAR on the unseen swap family is "
+                        "0.000 at every positive SNR while +reverb fires "
+                        "0.10-0.23 at ALL SNRs (QUALITY.md round 5 cont.). "
+                        "Uses the --collision-negatives text pool (or "
+                        "derives one with the same held-out exclusion).")
     p.add_argument("--mine-adversarial-clips", type=int, default=0,
                    metavar="N",
                    help="N>0 renders N fresh augmented ADVERSARIAL CLIPS per "
@@ -790,6 +801,19 @@ def main() -> None:
             f"e.g. {collision_texts[:6]}"
         )
         hard_texts = hard_texts + collision_texts
+    if args.reverb_collisions > 0 and not collision_texts:
+        # Derive the emphasis pool with the same held-out exclusion the
+        # --collision-negatives channel applies.
+        from heybuddy_tpu.text.adversarial import single_swap_collision_texts
+
+        heldout_pool = TrainingFeaturesGenerator(
+            args.phrase, **gen_kwargs
+        ).adversarial_texts(testing=True, adversarial_phrases=60)
+        collision_texts = single_swap_collision_texts(
+            args.phrase, num_samples=max(args.collision_negatives, 48),
+            seed=args.seed, exclude=heldout_pool,
+            max_swaps=args.collision_swap_depth,
+        )
     train_gen_kwargs = dict(gen_kwargs)
     if hard_texts:
         train_gen_kwargs["custom_adversarial_texts"] = hard_texts
@@ -879,6 +903,16 @@ def main() -> None:
             if args.reverb_positives > 0
             else None
         )
+        # Reverb-mode collision negatives: the shipped-v26 FAR-by-SNR
+        # residual's exact distribution as dedicated negative coverage
+        # (features.py get_reverb_collision_features docstring).
+        reverb_collision_train = (
+            gen.get_reverb_collision_features(
+                args.reverb_collisions, collision_texts
+            )
+            if args.reverb_collisions > 0
+            else None
+        )
         # Validation sets for the dynamic negative-weight controller: DISJOINT
         # pad-only + clean-offset positives (testing caches, fresh seeds), and
         # stream windows from a seed disjoint from training's.
@@ -915,6 +949,8 @@ def main() -> None:
             negative_specs.append((partial_train, bs))
             negative_specs.append((partial_adv_train, bs))
         negative_specs.append((speech_train, bs))
+        if reverb_collision_train is not None:
+            negative_specs.append((reverb_collision_train, max(bs // 2, 1)))
         if stream_train is not None:
             negative_specs.append((stream_train, bs))
             negative_specs.append((stream_adv_train, bs))
